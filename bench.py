@@ -1,0 +1,90 @@
+#!/usr/bin/env python
+"""Benchmark driver — tm_benchmark equivalent (tm_benchmark.cc).
+
+Runs the flagship net imported from the reference's own benchmark tmfile on
+the TPU and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measurement: the dev-environment TPU sits behind a tunnel with ~30 ms
+round-trip latency on any host<->device synchronization, so single-call wall
+time measures the tunnel, not the chip. We therefore dispatch N inferences
+back-to-back (the runtime pipelines them) and sync once; per-inference device
+time = (t_N - t_1) / (N - 1). This matches what the reference measures
+(pure engine run time, input already in memory, tm_benchmark.cc:110-130).
+
+Baseline: the reference's published best CPU number for the same net
+(benchmark/README.md, Khadas VIM3 4×A73 — BASELINE.md). vs_baseline > 1 means
+faster by that factor. Extra results go to stderr; the driver parses stdout.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def measure_device_ms(call, sync, n=41, trials=3, warmup=2):
+    """Per-iteration device time via the pipelined-dispatch slope method."""
+    for _ in range(warmup):
+        sync(call())
+
+    def run_n(k):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(k):
+            out = call()
+        sync(out)
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(trials):
+        t1 = run_n(1)
+        tn = run_n(n)
+        best = min(best, (tn - t1) / (n - 1))
+    return best * 1e3
+
+
+def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
+    import jax
+    import tengine_tpu as tt
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.utils.config import Options
+
+    g = load_benchmark_model(name, fill_missing_weights="random")
+    cg = tt.compile_graph(g, Options(precision=precision, batch_size=batch))
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    shape[0] = batch
+    x = jax.device_put(
+        np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    )
+
+    def sync(out):
+        arr = out[0]
+        return float(arr[(0,) * arr.ndim])
+
+    ms = measure_device_ms(lambda: cg(x), sync)
+    ips = batch / (ms / 1e3)
+    print(
+        f"[bench] {name} {precision} batch={batch}: {ms:.3f} ms/iter, "
+        f"{ips:.0f} img/s (baseline {baseline_ms} ms -> {baseline_ms/ms:.1f}x)",
+        file=sys.stderr,
+    )
+    return ms, ips
+
+
+def main():
+    model = "mobilenetv1"
+    baseline_ms = 32.07  # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md)
+    ms, ips = bench_model(model, baseline_ms)
+    result = {
+        "metric": f"{model}_fp32_latency",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(baseline_ms / ms, 2),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,215 @@
+"""Graph executor: IR -> one jitted XLA program.
+
+Replaces the reference's prerun/run machinery (c_api.c:445-626,
+scheduler/scheduler.c, cpu_device.c exec loop) with a single trace:
+
+  * prepare pass — abstract-shape walk of the graph. Op lowerings register
+    host-computed compile-time params (repacked weights, folded BN scales,
+    precomputed priors) in the ParamStore; this is the analog of
+    node_ops->prerun weight repacking (cpu_graph.c:143). Shapes inferred
+    during this pass are written back into the IR (infer_ir_graph_shape
+    analog, graph/graph.c:213).
+  * trace/compile — jax.jit of the whole-graph forward with the params
+    pytree as an argument, so weights live once in HBM and XLA handles
+    fusion, layout, and memory planning (the reference's optimizer/
+    estimation.c memory pool is subsumed by XLA buffer assignment).
+
+There is no per-node dispatch at runtime.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.ir import DType, Graph, Node, Tensor, TensorType
+from ..ops import lowering as _lowering  # noqa: F401 — populate registry
+from ..ops import detection as _detection  # noqa: F401
+from ..ops import quantized as _quantized  # noqa: F401
+from ..ops.layout import TArr, as_semantic, nchw, semantic_shape
+from ..ops.registry import LowerCtx, select_kernel
+from ..utils.config import Options
+
+
+class ParamStore:
+    """Named compile-time parameters, computed on the host during the prepare
+    pass and passed to the jitted function as a pytree argument."""
+
+    def __init__(self):
+        self.phase = "prepare"
+        self.values: Dict[str, np.ndarray] = {}
+        self.tracers: Dict[str, Any] = {}
+
+    def get(self, key: str, compute: Callable[[], np.ndarray]):
+        if self.phase == "prepare":
+            if key not in self.values:
+                self.values[key] = np.asarray(compute())
+            return self.values[key]
+        return self.tracers[key]
+
+
+class ConstIn:
+    """Lazy const-tensor input: materializes into the params pytree only if a
+    lowering actually reads it as data (conv weights, e.g., are consumed via
+    ctx.weight() with a repacking transform instead)."""
+
+    layout = None
+
+    def __init__(self, tensor: Tensor, store: ParamStore):
+        self._t = tensor
+        self._store = store
+
+    @property
+    def x(self):
+        t = self._t
+        return self._store.get(f"t{t.idx}/raw", lambda: t.data)
+
+    @property
+    def shape(self):
+        return tuple(self._t.shape)
+
+    @property
+    def dtype(self):
+        return self._t.dtype.np
+
+
+class CompiledGraph:
+    """The runnable artifact: jitted forward + params pytree."""
+
+    def __init__(
+        self,
+        graph: Graph,
+        options: Options,
+        fn: Callable,
+        params: Dict[str, jnp.ndarray],
+        input_ids: List[int],
+        output_ids: List[int],
+    ):
+        self.graph = graph
+        self.options = options
+        self._fn = fn
+        self.params = params
+        self.input_ids = input_ids
+        self.output_ids = output_ids
+
+    def __call__(self, *inputs):
+        return self._fn(self.params, *inputs)
+
+    def run(self, *inputs) -> List[np.ndarray]:
+        outs = self._fn(self.params, *inputs)
+        return [np.asarray(o) for o in outs]
+
+
+def _input_spec(graph: Graph, options: Options) -> List[Tuple[int, Tuple[int, ...], Any]]:
+    spec = []
+    for tid in graph.input_tensors:
+        t = graph.tensors[tid]
+        shape = list(t.shape)
+        if not shape:
+            raise ValueError(f"input tensor {t.name!r} has no shape; set one before compile")
+        if options.batch_size:
+            shape[0] = options.batch_size
+        # quantized graphs take quantized inputs, like the reference C API
+        spec.append((tid, tuple(shape), t.dtype.np))
+    return spec
+
+
+def build_forward(graph: Graph, options: Options, store: ParamStore):
+    """The traced whole-graph function. Also used abstractly in the prepare
+    pass (with numpy params) and concretely under jit (with tracer params)."""
+    topo = graph.toposorted()
+    input_ids = graph.input_tensors
+    output_ids = graph.output_tensors
+
+    def forward(params, *inputs):
+        store.tracers = params
+        env: Dict[int, TArr] = {}
+        for tid, arr in zip(input_ids, inputs):
+            env[tid] = nchw(arr)
+
+        for node in topo:
+            ctx = LowerCtx(graph=graph, node=node, options=options, store=store)
+            kernel = select_kernel(node.op, ctx)
+            args = []
+            for tid in node.inputs:
+                t = graph.tensors[tid]
+                if tid in env:
+                    args.append(env[tid])
+                elif t.is_const:
+                    args.append(ConstIn(t, store))
+                else:
+                    raise RuntimeError(
+                        f"tensor {t.name!r} consumed by {node.name!r} before production"
+                    )
+            out = kernel.fn(ctx, *args)
+            outs = out if isinstance(out, tuple) else (out,)
+            for tid, o in zip(node.outputs, outs):
+                env[tid] = o
+
+        return tuple(as_semantic(env[tid]) for tid in output_ids)
+
+    return forward, input_ids, output_ids
+
+
+def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGraph:
+    """prerun_graph_multithread analog: prepare, trace, jit-compile."""
+    options = options or Options.from_env()
+    store = ParamStore()
+    forward, input_ids, output_ids = build_forward(graph, options, store)
+
+    in_spec = _input_spec(graph, options)
+    abstract_inputs = [jax.ShapeDtypeStruct(shape, dt) for _, shape, dt in in_spec]
+
+    # --- prepare pass: collect params, infer shapes ---
+    store.phase = "prepare"
+    out_shapes = jax.eval_shape(forward, {}, *abstract_inputs)
+
+    # write inferred output shapes back into the IR (semantic NCHW order)
+    for tid, aval in zip(output_ids, out_shapes):
+        graph.tensors[tid].shape = list(aval.shape)
+
+    params = {k: jnp.asarray(v) for k, v in store.values.items()}
+
+    # --- compile pass ---
+    store.phase = "trace"
+    jitted = jax.jit(forward)
+    return CompiledGraph(graph, options, jitted, params, input_ids, output_ids)
+
+
+def infer_shapes(graph: Graph, options: Optional[Options] = None) -> Graph:
+    """Standalone shape inference via an abstract trace — records every
+    tensor's shape into the IR (infer_ir_graph_shape analog)."""
+    options = options or Options.from_env()
+    store = ParamStore()
+    topo = graph.toposorted()
+    input_ids = graph.input_tensors
+
+    def forward_all(params, *inputs):
+        store.tracers = params
+        env: Dict[int, TArr] = {}
+        for tid, arr in zip(input_ids, inputs):
+            env[tid] = nchw(arr)
+        for node in topo:
+            ctx = LowerCtx(graph=graph, node=node, options=options, store=store)
+            kernel = select_kernel(node.op, ctx)
+            args = []
+            for tid in node.inputs:
+                t = graph.tensors[tid]
+                args.append(env[tid] if tid in env else ConstIn(t, store))
+            out = kernel.fn(ctx, *args)
+            outs = out if isinstance(out, tuple) else (out,)
+            for tid, o in zip(node.outputs, outs):
+                env[tid] = o
+        return {tid: as_semantic(v) for tid, v in env.items()}
+
+    in_spec = _input_spec(graph, options)
+    abstract_inputs = [jax.ShapeDtypeStruct(shape, dt) for _, shape, dt in in_spec]
+    store.phase = "prepare"
+    shapes = jax.eval_shape(forward_all, {}, *abstract_inputs)
+    for tid, aval in shapes.items():
+        graph.tensors[tid].shape = list(aval.shape)
+    return graph

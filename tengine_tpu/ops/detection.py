@@ -1,0 +1,231 @@
+"""Detection-specific ops: PriorBox, DetectionOutput, Region, RPN-adjacent.
+
+The reference runs these as ordinary CPU nodes with data-dependent output
+shapes (detection_output_ref.c). Data-dependent shapes don't jit, so the
+TPU-native design is:
+  * PriorBox — a pure function of static shapes/params: precomputed on the
+    host at prepare time and emitted as a graph constant (priorbox_ref.c
+    numerics, including its flip branch).
+  * DetectionOutput — decode + class-wise NMS entirely on device with
+    *fixed-size padded* outputs [keep_top_k, 6]; invalid rows have
+    label == -1. The host API trims padding (executor/engine.py), restoring
+    the reference's dynamic result.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .layout import TArr, as_semantic, nchw, wrap
+from .registry import LowerCtx, register_op
+
+
+def compute_priorbox(
+    feat_h: int,
+    feat_w: int,
+    data_h: int,
+    data_w: int,
+    p: dict,
+) -> np.ndarray:
+    """Numpy replication of priorbox_ref.c:93-175. Returns [2, out_dim]:
+    row 0 = boxes (xmin,ymin,xmax,ymax normalized), row 1 = variances.
+
+    Note: for flipped aspect ratios the reference normalizes x by image_h and
+    y by image_w (priorbox_ref.c:142-148); we replicate that faithfully —
+    SSD models use square inputs where it is equivalent.
+    """
+    image_h = p["img_h"] or data_h
+    image_w = p["img_w"] or data_w
+    step_w = p["step_w"] or float(image_w) / feat_w
+    step_h = p["step_h"] or float(image_h) / feat_h
+    offset = p["offset"]
+    min_sizes = p["min_sizes"]
+    max_sizes = p["max_sizes"]
+    ars = p["aspect_ratios"]
+    flip = p["flip"]
+
+    boxes = []
+    for h in range(feat_h):
+        for w in range(feat_w):
+            cx = (w + offset) * step_w
+            cy = (h + offset) * step_h
+            for s, mn in enumerate(min_sizes):
+                mn = int(mn)
+                bw = bh = mn
+                boxes.append(
+                    [(cx - bw * 0.5) / image_w, (cy - bh * 0.5) / image_h,
+                     (cx + bw * 0.5) / image_w, (cy + bh * 0.5) / image_h]
+                )
+                if max_sizes:
+                    mx = int(max_sizes[s])
+                    bw = bh = math.sqrt(mn * mx)
+                    boxes.append(
+                        [(cx - bw * 0.5) / image_w, (cy - bh * 0.5) / image_h,
+                         (cx + bw * 0.5) / image_w, (cy + bh * 0.5) / image_h]
+                    )
+                for ar in ars:
+                    bw = mn * math.sqrt(ar)
+                    bh = mn / math.sqrt(ar)
+                    boxes.append(
+                        [(cx - bw * 0.5) / image_w, (cy - bh * 0.5) / image_h,
+                         (cx + bw * 0.5) / image_w, (cy + bh * 0.5) / image_h]
+                    )
+                    if flip:
+                        boxes.append(
+                            [(cx - bh * 0.5) / image_h, (cy - bw * 0.5) / image_w,
+                             (cx + bh * 0.5) / image_h, (cy + bw * 0.5) / image_w]
+                        )
+    flat = np.asarray(boxes, np.float32).reshape(-1)
+    if p["clip"]:
+        flat = np.clip(flat, 0.0, 1.0)
+    var = np.tile(np.asarray(p["variances"], np.float32), flat.size // 4)
+    return np.stack([flat, var])
+
+
+@register_op("PriorBox")
+def lower_priorbox(ctx: LowerCtx, featmap: TArr, data: TArr):
+    """Emit priors as a precomputed constant; output [N, 2, out_dim, 1]
+    (priorbox.c infer_shape)."""
+    fshape = np.asarray(as_semantic(featmap).shape)
+    dshape = np.asarray(as_semantic(data).shape)
+    p = dict(ctx.params)
+
+    priors = ctx.get_param(
+        "priors",
+        lambda: compute_priorbox(int(fshape[2]), int(fshape[3]), int(dshape[2]), int(dshape[3]), p),
+    )
+    out = jnp.asarray(priors)[None, :, :, None]
+    n = as_semantic(data).shape[0]
+    if n > 1:
+        out = jnp.broadcast_to(out, (n,) + out.shape[1:])
+    return wrap(out)
+
+
+def _iou_matrix(boxes: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU for [K,4] xmin,ymin,xmax,ymax boxes."""
+    x0, y0, x1, y1 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    ix0 = jnp.maximum(x0[:, None], x0[None, :])
+    iy0 = jnp.maximum(y0[:, None], y0[None, :])
+    ix1 = jnp.minimum(x1[:, None], x1[None, :])
+    iy1 = jnp.minimum(y1[:, None], y1[None, :])
+    inter = jnp.maximum(ix1 - ix0, 0) * jnp.maximum(iy1 - iy0, 0)
+    union = area[:, None] + area[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def padded_nms(
+    boxes: jnp.ndarray, scores: jnp.ndarray, iou_threshold: float, top_k: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy NMS over a fixed top_k candidate set.
+
+    Returns (keep_mask[top_k] bool, order[top_k] indices into input). The
+    classic sequential-greedy algorithm expressed as a fori_loop over the
+    score-sorted candidates so it stays jittable (reference:
+    nms_sorted_bboxes in detection_output_ref.c).
+    """
+    k = min(top_k, scores.shape[0])
+    top_scores, order = lax.top_k(scores, k)
+    cand = boxes[order]
+    iou = _iou_matrix(cand)
+
+    def body(i, keep):
+        # candidate i survives if no higher-ranked kept box overlaps too much
+        sup = (iou[i, :i] > iou_threshold) & keep[:i] if False else None
+        overlap = jnp.where(
+            (jnp.arange(k) < i) & keep, iou[i], 0.0
+        )
+        ok = jnp.max(overlap, initial=0.0) <= iou_threshold
+        return keep.at[i].set(ok & keep[i])
+
+    keep0 = top_scores > -jnp.inf
+    keep = lax.fori_loop(0, k, body, keep0)
+    return keep, order
+
+
+@register_op("DetectionOutput")
+def lower_detection_output(ctx: LowerCtx, loc: TArr, conf: TArr, priors: TArr):
+    """SSD DetectionOutput (detection_output_ref.c): decode center-size
+    offsets with per-prior variances, per-class NMS (skipping background
+    class 0), keep global top keep_top_k. Output padded [1, keep_top_k, 6]
+    rows = [label, score, x0, y0, x1, y1]; pad rows have label -1."""
+    p = ctx.params
+    num_classes = p["num_classes"]
+    keep_top_k = p["keep_top_k"]
+    nms_top_k = p["nms_top_k"]
+    conf_th = p["confidence_threshold"]
+    nms_th = p["nms_threshold"]
+
+    locx = as_semantic(loc).reshape(-1, 4)  # [P,4]
+    pr = as_semantic(priors).reshape(2, -1)
+    num_prior = pr.shape[1] // 4
+    confx = as_semantic(conf).reshape(num_prior, num_classes)
+
+    pbox = pr[0].reshape(num_prior, 4)
+    pvar = pr[1].reshape(num_prior, 4)
+
+    # decode (detection_output_ref.c get_boxes)
+    pw = pbox[:, 2] - pbox[:, 0]
+    ph = pbox[:, 3] - pbox[:, 1]
+    pcx = (pbox[:, 0] + pbox[:, 2]) * 0.5
+    pcy = (pbox[:, 1] + pbox[:, 3]) * 0.5
+    bcx = pvar[:, 0] * locx[:, 0] * pw + pcx
+    bcy = pvar[:, 1] * locx[:, 1] * ph + pcy
+    bw = pw * jnp.exp(pvar[:, 2] * locx[:, 2])
+    bh = ph * jnp.exp(pvar[:, 3] * locx[:, 3])
+    boxes = jnp.stack(
+        [bcx - bw * 0.5, bcy - bh * 0.5, bcx + bw * 0.5, bcy + bh * 0.5], axis=1
+    )  # [P,4]
+
+    k = min(nms_top_k, num_prior)
+
+    def per_class(c):
+        scores = jnp.where(confx[:, c] >= conf_th, confx[:, c], 0.0)
+        keep, order = padded_nms(boxes, scores, nms_th, k)
+        sc = confx[order, c]
+        valid = keep & (sc >= conf_th)
+        rows = jnp.concatenate(
+            [
+                jnp.full((k, 1), c, jnp.float32),
+                sc[:, None],
+                boxes[order],
+            ],
+            axis=1,
+        )
+        return jnp.where(valid[:, None], rows, jnp.full((k, 6), -1.0))
+
+    all_rows = jax.vmap(per_class)(jnp.arange(1, num_classes))  # [C-1, k, 6]
+    flat = all_rows.reshape(-1, 6)
+    scores_all = jnp.where(flat[:, 0] >= 0, flat[:, 1], -1.0)
+    kk = min(keep_top_k, flat.shape[0])
+    top, idx = lax.top_k(scores_all, kk)
+    out = flat[idx]
+    out = jnp.where((top > 0)[:, None], out, jnp.full((kk, 6), -1.0))
+    return wrap(out[None])
+
+
+@register_op("Region")
+def lower_region(ctx: LowerCtx, x: TArr):
+    """YOLOv2 Region (region_ref.c): apply logistic to box xy/objectness and
+    softmax over classes, per anchor; raw grid output (no NMS — the
+    reference leaves thresholding to the app)."""
+    p = ctx.params
+    num_box = p["num_box"]
+    num_classes = p["num_classes"]
+    coords = p.get("coords", 4)
+    xs = as_semantic(x)
+    n, c, h, w = xs.shape
+    per = coords + 1 + num_classes
+    xr = xs.reshape(n, num_box, per, h, w)
+    xy = jax.nn.sigmoid(xr[:, :, 0:2])
+    wh = xr[:, :, 2:coords]
+    obj = jax.nn.sigmoid(xr[:, :, coords : coords + 1])
+    cls = jax.nn.softmax(xr[:, :, coords + 1 :], axis=2)
+    out = jnp.concatenate([xy, wh, obj, cls], axis=2).reshape(n, c, h, w)
+    return nchw(out)

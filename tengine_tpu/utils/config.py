@@ -1,0 +1,63 @@
+"""Runtime options — the typed-config equivalent of the reference's 3-tier
+flag system (CMake options / options_t / TG_DEBUG_* env vars; SURVEY §5).
+
+One dataclass + env-var overrides. The reference's `options_t
+{num_thread, cluster, precision, affinity}` (c_api.h:153-159) maps to
+{precision, quant mode, device/mesh selection} here — thread counts and core
+affinity are meaningless on TPU; the analogous scale knobs are the mesh axes
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, replace
+from typing import Optional, Tuple
+
+
+def _env_flag(name: str, default: bool = False) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v not in ("", "0", "false", "False")
+
+
+@dataclass(frozen=True)
+class Options:
+    """Per-run execution options.
+
+    precision: "fp32" | "bf16" | "fp16" — compute dtype for float graphs.
+    quant_mode: "auto"  — quantized tmfile runs quantized, float runs float;
+                "ref"   — quantized graphs use the bit-faithful
+                          dequant→fp32→requant reference semantics
+                          (conv_kernel_ref_uint8.c:67-177 analog, the
+                          TG_DEBUG_REF oracle);
+                "fast"  — quantized graphs use int8 MXU kernels with fused
+                          requantization;
+                "float" — ignore quant params, run everything fp32.
+    force_ref_kernels: pick the lowest-score kernel for every op
+        (TG_DEBUG_REF analog, cpu_module.c:157-166).
+    profile: record per-op timing (TG_DEBUG_TIME analog, cpu_device.c:79-156).
+    dump_dir: dump every node's output tensors (TG_DEBUG_DATA analog).
+    donate_input: allow XLA to reuse input buffers for outputs.
+    """
+
+    precision: str = "fp32"
+    quant_mode: str = "auto"
+    force_ref_kernels: bool = False
+    profile: bool = False
+    dump_dir: Optional[str] = None
+    donate_input: bool = False
+    batch_size: Optional[int] = None  # override model batch dim
+    internal_layout: str = "NHWC"  # lowering layout for conv stacks: NHWC | NCHW
+
+    @classmethod
+    def from_env(cls, **overrides) -> "Options":
+        """Env-var tier, mirroring TG_DEBUG_* (cpu_define.h:40-44)."""
+        base = cls(
+            force_ref_kernels=_env_flag("TT_DEBUG_REF"),
+            profile=_env_flag("TT_DEBUG_TIME"),
+            dump_dir=os.environ.get("TT_DEBUG_DATA_DIR")
+            or ("tt_dump" if _env_flag("TT_DEBUG_DATA") else None),
+        )
+        return replace(base, **overrides)
