@@ -29,6 +29,7 @@ import numpy as np
 from ..graph.ir import DType, Graph, Node, Tensor, TensorType
 from ..ops import lowering as _lowering  # noqa: F401 — populate registry
 from ..ops import detection as _detection  # noqa: F401
+from ..ops import qmath
 from ..ops import quantized as _quantized  # noqa: F401
 from ..ops.layout import TArr, as_semantic, nchw, semantic_shape
 from ..ops.registry import LowerCtx, select_kernel
@@ -77,6 +78,25 @@ class ConstIn:
         return self._t.dtype.np
 
 
+class DequantConstIn(ConstIn):
+    """Const input materialized pre-dequantized on the host — used when a
+    float kernel consumes a quantized const under the generic fallback.
+    Per-channel scales assume axis 0 (tmfile weight convention)."""
+
+    @property
+    def x(self):
+        from ..ops import qmath
+
+        t = self._t
+        return self._store.get(
+            f"t{t.idx}/dequant", lambda: qmath.dequantize_np(t.data, t.quant, channel_axis=0)
+        )
+
+    @property
+    def dtype(self):
+        return np.float32
+
+
 class CompiledGraph:
     """The runnable artifact: jitted forward + params pytree."""
 
@@ -118,9 +138,10 @@ def _input_spec(graph: Graph, options: Options) -> List[Tuple[int, Tuple[int, ..
     return spec
 
 
-def build_forward(graph: Graph, options: Options, store: ParamStore):
+def build_forward(graph: Graph, options: Options, store: ParamStore, return_all: bool = False):
     """The traced whole-graph function. Also used abstractly in the prepare
-    pass (with numpy params) and concretely under jit (with tracer params)."""
+    pass (with numpy params) and concretely under jit (with tracer params).
+    return_all=True returns every tensor (for shape inference / layer dump)."""
     topo = graph.toposorted()
     input_ids = graph.input_tensors
     output_ids = graph.output_tensors
@@ -134,25 +155,58 @@ def build_forward(graph: Graph, options: Options, store: ParamStore):
         for node in topo:
             ctx = LowerCtx(graph=graph, node=node, options=options, store=store)
             kernel = select_kernel(node.op, ctx)
+            wrap_quant = _graph_quantized(graph) and not kernel.quant_aware
             args = []
             for tid in node.inputs:
                 t = graph.tensors[tid]
                 if tid in env:
-                    args.append(env[tid])
+                    a = env[tid]
+                    if wrap_quant and qmath.is_quantized_tensor(t):
+                        a = TArr(qmath.dequantize(a.x, t.quant), a.layout)
+                    args.append(a)
                 elif t.is_const:
-                    args.append(ConstIn(t, store))
+                    if wrap_quant and qmath.is_quantized_tensor(t):
+                        args.append(DequantConstIn(t, store))
+                    else:
+                        args.append(ConstIn(t, store))
                 else:
                     raise RuntimeError(
                         f"tensor {t.name!r} consumed by {node.name!r} before production"
                     )
             out = kernel.fn(ctx, *args)
             outs = out if isinstance(out, tuple) else (out,)
+            if wrap_quant:
+                # re-quantize float results into the node's quantized output
+                # tensors — the reference stores every activation quantized,
+                # so per-node requantization is part of its numerics
+                outs = tuple(
+                    TArr(
+                        qmath.requantize(
+                            o.x, graph.tensors[tid].quant, graph.tensors[tid].dtype
+                        ),
+                        o.layout,
+                    )
+                    if qmath.is_quantized_tensor(graph.tensors[tid])
+                    and jnp.issubdtype(o.x.dtype, jnp.floating)
+                    else o
+                    for tid, o in zip(node.outputs, outs)
+                )
             for tid, o in zip(node.outputs, outs):
                 env[tid] = o
 
+        if return_all:
+            return {tid: as_semantic(v) for tid, v in env.items()}
         return tuple(as_semantic(env[tid]) for tid in output_ids)
 
     return forward, input_ids, output_ids
+
+
+def _graph_quantized(graph: Graph) -> bool:
+    cached = getattr(graph, "_is_quantized", None)
+    if cached is None:
+        cached = any(qmath.is_quantized_tensor(t) for t in graph.tensors)
+        graph._is_quantized = cached
+    return cached
 
 
 def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGraph:
@@ -185,27 +239,7 @@ def infer_shapes(graph: Graph, options: Optional[Options] = None) -> Graph:
     tensor's shape into the IR (infer_ir_graph_shape analog)."""
     options = options or Options.from_env()
     store = ParamStore()
-    topo = graph.toposorted()
-    input_ids = graph.input_tensors
-
-    def forward_all(params, *inputs):
-        store.tracers = params
-        env: Dict[int, TArr] = {}
-        for tid, arr in zip(input_ids, inputs):
-            env[tid] = nchw(arr)
-        for node in topo:
-            ctx = LowerCtx(graph=graph, node=node, options=options, store=store)
-            kernel = select_kernel(node.op, ctx)
-            args = []
-            for tid in node.inputs:
-                t = graph.tensors[tid]
-                args.append(env[tid] if tid in env else ConstIn(t, store))
-            out = kernel.fn(ctx, *args)
-            outs = out if isinstance(out, tuple) else (out,)
-            for tid, o in zip(node.outputs, outs):
-                env[tid] = o
-        return {tid: as_semantic(v) for tid, v in env.items()}
-
+    forward_all, _, _ = build_forward(graph, options, store, return_all=True)
     in_spec = _input_spec(graph, options)
     abstract_inputs = [jax.ShapeDtypeStruct(shape, dt) for _, shape, dt in in_spec]
     store.phase = "prepare"

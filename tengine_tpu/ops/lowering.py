@@ -34,6 +34,7 @@ from .layout import (
     wrap,
 )
 from .registry import SCORE_REF, LowerCtx, register_op
+from .qmath import node_is_float
 from ..serializer.tm2 import format as tmfmt
 
 
@@ -97,7 +98,7 @@ def _conv_pads(
 # ---------------------------------------------------------------------------
 
 
-@register_op("Convolution")
+@register_op("Convolution", predicate=node_is_float)
 def lower_conv(ctx: LowerCtx, x: TArr, *rest: TArr):
     """Conv2D with optional bias and fused activation.
 
@@ -134,7 +135,7 @@ def lower_conv(ctx: LowerCtx, x: TArr, *rest: TArr):
     return nhwc(out.astype(dt) if dt != jnp.float32 else out)
 
 
-@register_op("Deconvolution")
+@register_op("Deconvolution", predicate=node_is_float)
 def lower_deconv(ctx: LowerCtx, x: TArr, *rest: TArr):
     """Transposed conv (deconvolution.c infer_shape):
     out = (in - 1) * stride + out_pad + k_eff - pad0 - pad1."""
@@ -276,7 +277,7 @@ def lower_pooling(ctx: LowerCtx, x: TArr):
 # ---------------------------------------------------------------------------
 
 
-@register_op("FullyConnected")
+@register_op("FullyConnected", predicate=node_is_float)
 def lower_fc(ctx: LowerCtx, x: TArr, *rest: TArr):
     """FC: flatten input to [M, K], weight [N, K] (fc.c infer_shape).
     Output keeps the input rank with trailing 1s in NCHW ([M,N], [M,N,1],

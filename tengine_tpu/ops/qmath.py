@@ -1,0 +1,103 @@
+"""Quantization math helpers.
+
+Semantics follow the reference ref kernels exactly:
+  * UINT8 asymmetric per-tensor: real = (q - zero_point) * scale
+    (conv_kernel_ref_uint8.c:76-84), requant = round(x/scale) + zp clipped to
+    [0, 255] (conv_kernel_ref_uint8.c:168-173).
+  * INT8 symmetric, per-channel weights: real = q * scale[c]; requant =
+    round(x/scale) clipped to [-127, 127] (conv_kernel_ref_int8.c:162-166).
+  * round() is C round — half away from zero — NOT numpy/jax banker's
+    rounding; we reproduce it as sign(x) * floor(|x| + 0.5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..graph.ir import DType, QuantParam, Tensor
+
+QRANGE = {
+    DType.UINT8: (0, 255),
+    DType.INT8: (-127, 127),
+    DType.INT32: (-(2**31) + 1, 2**31 - 1),
+}
+
+
+def round_away(x):
+    """C round(): half away from zero (jnp.round is half-to-even)."""
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def round_away_np(x):
+    return np.sign(x) * np.floor(np.abs(x) + 0.5)
+
+
+def _chan_shape(ndim: int, axis: int, n: int):
+    s = [1] * ndim
+    s[axis] = n
+    return s
+
+
+def dequantize(x, quant: QuantParam, channel_axis: Optional[int] = None):
+    """Quantized array -> fp32. Per-channel scales broadcast on channel_axis."""
+    xf = x.astype(jnp.float32)
+    scales = jnp.asarray(quant.scales, jnp.float32)
+    zps = jnp.asarray(quant.zero_points, jnp.float32)
+    if quant.per_channel:
+        assert channel_axis is not None, "per-channel dequant needs a channel axis"
+        shape = _chan_shape(x.ndim, channel_axis, scales.shape[0])
+        return (xf - zps.reshape(shape)) * scales.reshape(shape)
+    return (xf - zps) * scales
+
+
+def requantize(x, quant: QuantParam, dtype: DType, channel_axis: Optional[int] = None):
+    """fp32 -> quantized with reference rounding/clipping semantics."""
+    lo, hi = QRANGE[dtype]
+    scales = jnp.asarray(quant.scales, jnp.float32)
+    zps = jnp.asarray(quant.zero_points, jnp.float32)
+    if quant.per_channel:
+        assert channel_axis is not None
+        shape = _chan_shape(x.ndim, channel_axis, scales.shape[0])
+        scales = scales.reshape(shape)
+        zps = zps.reshape(shape)
+    q = round_away(x / scales) + zps
+    return jnp.clip(q, lo, hi).astype(dtype.np)
+
+
+def dequantize_np(x: np.ndarray, quant: QuantParam, channel_axis: Optional[int] = None):
+    xf = x.astype(np.float32)
+    if quant.per_channel:
+        shape = _chan_shape(x.ndim, channel_axis, quant.scales.shape[0])
+        return (xf - quant.zero_points.reshape(shape)) * quant.scales.reshape(shape)
+    return (xf - float(quant.zero_points)) * float(quant.scales)
+
+
+def quantize_np(x: np.ndarray, quant: QuantParam, dtype: DType, channel_axis: Optional[int] = None):
+    lo, hi = QRANGE[dtype]
+    if quant.per_channel:
+        shape = _chan_shape(x.ndim, channel_axis, quant.scales.shape[0])
+        q = round_away_np(x / quant.scales.reshape(shape)) + quant.zero_points.reshape(shape)
+    else:
+        q = round_away_np(x / float(quant.scales)) + float(quant.zero_points)
+    return np.clip(q, lo, hi).astype(dtype.np)
+
+
+def is_quantized_tensor(t: Tensor) -> bool:
+    return t.quant is not None and t.dtype in (DType.UINT8, DType.INT8)
+
+
+def node_is_quant(ctx) -> bool:
+    """Node executes in the quantized domain: first input and first output
+    are quantized tensors and quantization isn't globally disabled."""
+    if ctx.options.quant_mode == "float":
+        return False
+    if not ctx.node.inputs or not ctx.node.outputs:
+        return False
+    return is_quantized_tensor(ctx.in_tensor(0)) and is_quantized_tensor(ctx.out_tensor(0))
+
+
+def node_is_float(ctx) -> bool:
+    return not node_is_quant(ctx)

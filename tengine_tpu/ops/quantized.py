@@ -1,7 +1,339 @@
-"""Quantized execution lowerings (UINT8 asymmetric / INT8 per-channel).
+"""Quantized execution kernels (UINT8 asymmetric / INT8 per-channel).
 
-Placeholder for now — filled with:
-  * reference-semantics dequant -> fp32 -> requant paths
-    (conv_kernel_ref_uint8.c:67-177 analog), the bit-accuracy oracle;
-  * fast int8 MXU paths with fused requantization (Pallas / XLA int8 dot).
+Two tiers, mirroring the reference's ref-vs-optimized kernel split:
+
+  * SCORE_CANDO "ref" kernels — reproduce the reference C semantics
+    literally: dequantize -> fp32 compute (HIGHEST precision) -> requantize
+    with round-half-away and clip (conv_kernel_ref_uint8.c:67-177,
+    conv_kernel_ref_int8.c). These are the accuracy oracle
+    (TG_DEBUG_REF analog) and what quant_mode="ref" selects.
+
+  * SCORE_BEST "fast" kernels — MXU-friendly integer math with the
+    requantization folded into a single per-channel multiplier:
+      int8:  acc_i32 = conv(x_i8, w_i8)          (exact int32 accumulate)
+      uint8: acc_f32 = conv(x-zp, w-zpw in bf16)  (products exact; fp32
+             accumulate — the same numeric class as the reference's own
+             fp32-accumulating uint8 ref kernel)
+    then q = clip(round(acc * M[c] + B[c]) + zp_out).
+
+Any op without a quant-aware kernel runs under the engine's generic
+dequant -> fp32 kernel -> requant wrapper, which reproduces the reference's
+store-every-activation-quantized behavior (executor/engine.py).
 """
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph.ir import DType, QuantParam
+from . import qmath
+from .layout import TArr, as_nhwc, as_semantic, nchw, nhwc
+from .lowering import _conv_pads, apply_activation
+from .registry import SCORE_BEST, SCORE_CANDO, LowerCtx, register_op
+
+
+node_is_quant = qmath.node_is_quant
+
+
+def _fast_enabled(ctx: LowerCtx) -> bool:
+    return (
+        node_is_quant(ctx)
+        and ctx.options.quant_mode in ("auto", "fast")
+        and not ctx.options.force_ref_kernels
+    )
+
+
+def _wscales(quant: QuantParam, out_c: int) -> np.ndarray:
+    s = np.asarray(quant.scales, np.float32).reshape(-1)
+    if s.size == 1:
+        s = np.full((out_c,), s[0], np.float32)
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Convolution
+# ---------------------------------------------------------------------------
+
+
+def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
+    """Shared quantized conv: returns (acc_f32_or_i32, params pack)."""
+    p = ctx.params
+    group = p["group"]
+    dil_h, dil_w = p["dilation_h"], p["dilation_w"]
+    kh_eff = (p["kernel_h"] - 1) * dil_h + 1
+    kw_eff = (p["kernel_w"] - 1) * dil_w + 1
+
+    t_in = ctx.in_tensor(0)
+    t_w = ctx.in_tensor(1)
+    t_out = ctx.out_tensor(0)
+    in_q, w_q, out_q = t_in.quant, t_w.quant, t_out.quant
+
+    xn = as_nhwc(x)
+    n, in_h, in_w, _ = xn.shape
+    pads = _conv_pads(in_h, in_w, p, kh_eff, kw_eff)
+    out_c = t_w.shape[0]
+
+    zp_in = int(np.asarray(in_q.zero_points).reshape(-1)[0])
+    s_in = float(np.asarray(in_q.scales).reshape(-1)[0])
+    w_scales = _wscales(w_q, out_c)
+    zp_w = int(np.asarray(w_q.zero_points).reshape(-1)[0]) if not w_q.per_channel else 0
+
+    if integer_lhs:
+        # int8 symmetric: raw int8 into the MXU, exact int32 accumulation
+        w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8")
+        acc = lax.conv_general_dilated(
+            xn,
+            w,
+            window_strides=(p["stride_h"], p["stride_w"]),
+            padding=pads,
+            rhs_dilation=(dil_h, dil_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=group,
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+    else:
+        # uint8 asymmetric: zero-point-shifted values are <=9-bit integers,
+        # exactly representable in bf16; MXU multiplies exactly and
+        # accumulates fp32 — the reference's own accumulation class
+        w = ctx.weight(
+            1,
+            lambda a: (a.astype(np.float32) - zp_w).astype(np.float32).transpose(2, 3, 1, 0),
+            tag="hwio_zshift",
+        )
+        xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
+        acc = lax.conv_general_dilated(
+            xs,
+            w.astype(jnp.bfloat16),
+            window_strides=(p["stride_h"], p["stride_w"]),
+            padding=pads,
+            rhs_dilation=(dil_h, dil_w),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=group,
+            preferred_element_type=jnp.float32,
+        )
+
+    return acc, (s_in, w_scales, out_q, t_out.dtype, p)
+
+
+def _requant_conv_out(ctx: LowerCtx, acc, pack):
+    """Fold dequant-scale, bias, activation, and requant into one vector op:
+    q = clip(round(acc*M[c] + B[c]) + zp_out)."""
+    s_in, w_scales, out_q, out_dtype, p = pack
+    s_out = float(np.asarray(out_q.scales).reshape(-1)[0])
+    zp_out = int(np.asarray(out_q.zero_points).reshape(-1)[0])
+
+    def multipliers():
+        return (s_in * w_scales / s_out).astype(np.float32)
+
+    M = ctx.get_param("requant_m", multipliers)
+
+    if ctx.num_inputs > 2:
+        def bias_q():
+            b = ctx.const_data(2).astype(np.float32)
+            return (b * s_in * w_scales / s_out).astype(np.float32)
+
+        B = ctx.get_param("requant_b", bias_q)
+        q = acc * M + B
+    else:
+        q = acc * M
+
+    act = p.get("activation", -1)
+    if act is not None and act >= 0:
+        # clamp thresholds move into the pre-round domain (x/s_out)
+        if act == 1:
+            q = jnp.clip(q, -1.0 / s_out, 1.0 / s_out)
+        else:
+            q = jnp.maximum(q, 0.0)
+            if act > 0:
+                q = jnp.minimum(q, float(act) / s_out)
+    lo, hi = qmath.QRANGE[out_dtype]
+    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(out_dtype.np)
+    return nhwc(out)
+
+
+def _native_int_ok() -> bool:
+    """XLA integer dot/conv support. The axon TPU backend hangs compiling
+    int8 convolutions (observed: >15 min on a 3x3x16x32 conv), so native
+    integer lowering is only used on CPU; on TPU the int8 fast path uses the
+    exact-in-bf16 shift trick until the Pallas int8 MXU kernel takes over."""
+    import jax
+
+    return jax.default_backend() == "cpu"
+
+
+@register_op("Convolution", score=SCORE_BEST, predicate=_fast_enabled, quant=True)
+def lower_conv_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
+    t_in = ctx.in_tensor(0)
+    integer_lhs = t_in.dtype == DType.INT8 and _native_int_ok()
+    acc, pack = _conv_quant_common(ctx, x, integer_lhs=integer_lhs)
+    return _requant_conv_out(ctx, acc, pack)
+
+
+@register_op("Convolution", score=SCORE_CANDO, predicate=node_is_quant, quant=True)
+def lower_conv_quant_ref(ctx: LowerCtx, x: TArr, *rest: TArr):
+    """Reference semantics: dequant -> fp32 conv -> activation -> requant
+    (conv_kernel_ref_uint8.c:67-177 / conv_kernel_ref_int8.c)."""
+    p = ctx.params
+    group = p["group"]
+    dil_h, dil_w = p["dilation_h"], p["dilation_w"]
+    kh_eff = (p["kernel_h"] - 1) * dil_h + 1
+    kw_eff = (p["kernel_w"] - 1) * dil_w + 1
+
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    w_scales = _wscales(t_w.quant, t_w.shape[0])
+
+    xn = as_nhwc(x)
+    n, in_h, in_w, _ = xn.shape
+    pads = _conv_pads(in_h, in_w, p, kh_eff, kw_eff)
+
+    xf = qmath.dequantize(xn, t_in.quant)
+    w = ctx.weight(
+        1,
+        lambda a: qmath.dequantize_np(a, t_w.quant, channel_axis=0).transpose(2, 3, 1, 0),
+        tag="hwio_deq",
+    )
+    out = lax.conv_general_dilated(
+        xf,
+        w,
+        window_strides=(p["stride_h"], p["stride_w"]),
+        padding=pads,
+        rhs_dilation=(dil_h, dil_w),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=group,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if ctx.num_inputs > 2:
+        def bias_f():
+            b = ctx.const_data(2).astype(np.float32)
+            return b * s_in * w_scales
+
+        out = out + ctx.get_param("bias_deq", bias_f)
+    out = apply_activation(out, p.get("activation", -1))
+    return nhwc(qmath.requantize(out, t_out.quant, t_out.dtype))
+
+
+# ---------------------------------------------------------------------------
+# FullyConnected
+# ---------------------------------------------------------------------------
+
+
+@register_op("FullyConnected", score=SCORE_BEST, predicate=_fast_enabled, quant=True)
+def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+    out_c = t_w.shape[0]
+    w_scales = _wscales(t_w.quant, out_c)
+    s_out = float(np.asarray(t_out.quant.scales).reshape(-1)[0])
+    zp_out = int(np.asarray(t_out.quant.zero_points).reshape(-1)[0])
+
+    xs = as_semantic(x)
+    m = xs.shape[0]
+    rank = xs.ndim
+    xf = xs.reshape(m, -1)
+
+    if t_in.dtype == DType.INT8 and _native_int_ok():
+        w = ctx.weight(1, lambda a: np.ascontiguousarray(a.T), tag="kt_i8")
+        acc = lax.dot_general(
+            xf, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        ).astype(jnp.float32)
+    else:
+        zp_w = int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
+        w = ctx.weight(
+            1, lambda a: (a.astype(np.float32) - zp_w).T.astype(np.float32), tag="kt_zshift"
+        )
+        acc = lax.dot_general(
+            (xf.astype(jnp.float32) - zp_in).astype(jnp.bfloat16),
+            w.astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    M = ctx.get_param("requant_m", lambda: (s_in * w_scales / s_out).astype(np.float32))
+    q = acc * M
+    if ctx.num_inputs > 2:
+        B = ctx.get_param(
+            "requant_b",
+            lambda: (ctx.const_data(2).astype(np.float32) * s_in * w_scales / s_out).astype(
+                np.float32
+            ),
+        )
+        q = q + B
+    lo, hi = qmath.QRANGE[t_out.dtype]
+    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(t_out.dtype.np)
+    if rank == 3:
+        out = out.reshape(m, -1, 1)
+    elif rank == 4:
+        out = out.reshape(m, -1, 1, 1)
+    return nchw(out)
+
+
+@register_op("FullyConnected", score=SCORE_CANDO, predicate=node_is_quant, quant=True)
+def lower_fc_quant_ref(ctx: LowerCtx, x: TArr, *rest: TArr):
+    """fc_kernel_ref_uint8/int8 semantics."""
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    w_scales = _wscales(t_w.quant, t_w.shape[0])
+
+    xs = as_semantic(x)
+    m = xs.shape[0]
+    rank = xs.ndim
+    xf = qmath.dequantize(xs.reshape(m, -1), t_in.quant)
+    w = ctx.weight(
+        1,
+        lambda a: np.ascontiguousarray(qmath.dequantize_np(a, t_w.quant, channel_axis=0).T),
+        tag="kt_deq",
+    )
+    out = jnp.dot(xf, w, preferred_element_type=jnp.float32, precision=lax.Precision.HIGHEST)
+    if ctx.num_inputs > 2:
+        out = out + ctx.get_param(
+            "bias_deq", lambda: ctx.const_data(2).astype(np.float32) * s_in * w_scales
+        )
+    out = qmath.requantize(out, t_out.quant, t_out.dtype)
+    if rank == 3:
+        out = out.reshape(m, -1, 1)
+    elif rank == 4:
+        out = out.reshape(m, -1, 1, 1)
+    return nchw(out)
+
+
+# ---------------------------------------------------------------------------
+# Data-movement ops that can stay in the quantized domain when scales match
+# (the reference recomputes them through int math too): max-pool, relu-family
+# clamps commute with the (monotonic) quantization map.
+# ---------------------------------------------------------------------------
+
+
+def _same_quant(ctx: LowerCtx) -> bool:
+    if not node_is_quant(ctx):
+        return False
+    qi, qo = ctx.in_tensor(0).quant, ctx.out_tensor(0).quant
+    return (
+        not qi.per_channel
+        and not qo.per_channel
+        and float(qi.scales) == float(qo.scales)
+        and int(qi.zero_points) == int(qo.zero_points)
+    )
+
+
+@register_op("Pooling", score=SCORE_BEST, predicate=lambda c: _same_quant(c) and c.params.get("alg") == 0, quant=True)
+def lower_maxpool_quant(ctx: LowerCtx, x: TArr):
+    """Max-pool commutes with the quantization map when in/out quant params
+    match (pooling_kernel_ref_uint8.c takes the same shortcut)."""
+    from .lowering import lower_pooling
+
+    return lower_pooling(ctx, x)
+
+
+@register_op("ReLu", score=SCORE_BEST, predicate=lambda c: _same_quant(c) and not c.params.get("negative_slope"), quant=True)
+def lower_relu_quant(ctx: LowerCtx, x: TArr):
+    """relu in the quantized domain: max(q, zp) (relu_ref uint8 path)."""
+    zp = int(np.asarray(ctx.in_tensor(0).quant.zero_points).reshape(-1)[0])
+    return TArr(jnp.maximum(x.x, np.array(zp, x.x.dtype)), x.layout)

@@ -79,6 +79,10 @@ class Kernel:
     score: int
     fn: Callable  # fn(ctx: LowerCtx, *inputs) -> array | tuple of arrays
     predicate: Optional[Callable[[LowerCtx], bool]] = None
+    # quant_aware kernels consume/produce quantized arrays themselves; for the
+    # rest, the engine wraps with generic dequant->fp32->requant (the
+    # reference's per-node requantization semantics)
+    quant_aware: bool = False
 
     def applicable(self, ctx: LowerCtx) -> bool:
         return self.predicate is None or self.predicate(ctx)
@@ -92,12 +96,19 @@ def register_op(
     score: int = SCORE_REF,
     predicate: Optional[Callable[[LowerCtx], bool]] = None,
     name: Optional[str] = None,
+    quant: bool = False,
 ):
     """Decorator registering a lowering candidate for `op`."""
 
     def deco(fn):
         _REGISTRY.setdefault(op, []).append(
-            Kernel(name=name or fn.__name__, score=score, fn=fn, predicate=predicate)
+            Kernel(
+                name=name or fn.__name__,
+                score=score,
+                fn=fn,
+                predicate=predicate,
+                quant_aware=quant,
+            )
         )
         _REGISTRY[op].sort(key=lambda k: -k.score)
         return fn

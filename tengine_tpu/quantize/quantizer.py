@@ -1,0 +1,125 @@
+"""Graph quantizer: fp32 IR -> full-integer UINT8/INT8 IR.
+
+The write-side of the reference's quant tools (quant_save_graph.cpp):
+activations get calibration-derived quant params, conv/FC weights are
+quantized (uint8 asym per-tensor / int8 sym per-channel), biases become int32
+with scale s_in * s_w[c]. The result is a graph the quantized execution
+kernels (ops/quantized.py) run — and that the TM2 writer can save as a
+quantized tmfile.
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+from ..graph.ir import DType, Graph, QuantParam, TensorType
+from ..ops import qmath
+from ..utils.config import Options
+from .calibrate import (
+    ActivationStats,
+    collect_activation_ranges,
+    kl_int8,
+    minmax_int8,
+    minmax_uint8,
+    weight_quant_int8_perchannel,
+    weight_quant_uint8,
+)
+
+# ops whose float lowering must see float data and whose outputs stay fp32
+# (the reference marks these via per-op quant skip lists in the quant tools)
+_KEEP_FLOAT_OUTPUT_OPS = {"DetectionOutput", "RPN", "TopKV2", "ArgMax", "ArgMin", "Shape"}
+
+# weight-carrying ops: (weight input index, bias input index or None)
+_WEIGHTED = {"Convolution": (1, 2), "FullyConnected": (1, 2), "Deconvolution": (1, 2)}
+
+
+def quantize_graph(
+    graph: Graph,
+    calibration_inputs: Iterable,
+    scheme: str = "uint8",
+    algorithm: str = "minmax",
+    options: Optional[Options] = None,
+) -> Graph:
+    """PTQ: returns a new quantized Graph.
+
+    scheme: "uint8" (asymmetric per-tensor, quant_tool_uint8 equivalent) or
+            "int8" (symmetric, per-channel weights, quant_tool_int8).
+    algorithm: "minmax" | "kl" (activations; weights always minmax).
+    """
+    if scheme not in ("uint8", "int8"):
+        raise ValueError(f"unknown scheme {scheme!r}")
+    act_dtype = DType.UINT8 if scheme == "uint8" else DType.INT8
+
+    stats = collect_activation_ranges(
+        graph, calibration_inputs, options, with_histograms=(algorithm == "kl")
+    )
+
+    def act_qparam(s: ActivationStats) -> QuantParam:
+        if scheme == "uint8":
+            return minmax_uint8(s)
+        return kl_int8(s) if algorithm == "kl" else minmax_int8(s)
+
+    q = copy.deepcopy(graph)
+    q.name = f"{graph.name}.{scheme}"
+
+    # which tensors stay float: outputs of keep-float ops
+    keep_float = set()
+    for n in q.nodes:
+        if n.op in _KEEP_FLOAT_OUTPUT_OPS:
+            keep_float.update(n.outputs)
+
+    # 1. activations (VAR + INPUT tensors)
+    for t in q.tensors:
+        if t.tensor_type in (TensorType.VAR, TensorType.INPUT) and t.idx not in keep_float:
+            s = stats.get(t.idx)
+            if s is None:
+                continue  # never produced (dangling) — leave float
+            t.quant = act_qparam(s)
+            t.dtype = act_dtype
+
+    # 2. weights + biases per weighted node
+    for n in q.nodes:
+        if n.op not in _WEIGHTED:
+            continue
+        w_idx, b_idx = _WEIGHTED[n.op]
+        if len(n.inputs) <= w_idx:
+            continue
+        wt = q.tensors[n.inputs[w_idx]]
+        w = wt.data.astype(np.float32)
+        if scheme == "uint8":
+            wq = weight_quant_uint8(w)
+            wt.data = qmath.quantize_np(w, wq, DType.UINT8)
+            wt.dtype = DType.UINT8
+        else:
+            wq = weight_quant_int8_perchannel(w)
+            wt.data = qmath.quantize_np(w, wq, DType.INT8, channel_axis=0)
+            wt.dtype = DType.INT8
+        wt.quant = wq
+
+        if b_idx is not None and len(n.inputs) > b_idx:
+            bt = q.tensors[n.inputs[b_idx]]
+            xin = q.tensors[n.inputs[0]]
+            if xin.quant is None:
+                continue
+            s_in = float(np.asarray(xin.quant.scales).reshape(-1)[0])
+            w_scales = np.asarray(wq.scales, np.float32).reshape(-1)
+            if w_scales.size == 1:
+                w_scales = np.full((bt.data.size,), w_scales[0], np.float32)
+            b_scales = s_in * w_scales
+            bt.data = np.clip(
+                qmath.round_away_np(bt.data.astype(np.float32) / b_scales),
+                -(2**31) + 1,
+                2**31 - 1,
+            ).astype(np.int32)
+            bt.dtype = DType.INT32
+            bt.quant = QuantParam(
+                scales=b_scales.astype(np.float32),
+                zero_points=np.zeros(b_scales.size, np.int32),
+                width=32,
+            )
+
+    q._is_quantized = True
+    return q
