@@ -45,6 +45,11 @@ def measure_device_ms(call, sync, n=41, trials=3, warmup=2):
     return best * 1e3
 
 
+def _sync_out(out):
+    arr = out[0]
+    return float(arr[(0,) * arr.ndim])
+
+
 def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
     import jax
     import tengine_tpu as tt
@@ -59,11 +64,7 @@ def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
         np.random.default_rng(0).standard_normal(shape).astype(np.float32)
     )
 
-    def sync(out):
-        arr = out[0]
-        return float(arr[(0,) * arr.ndim])
-
-    ms = measure_device_ms(lambda: cg(x), sync)
+    ms = measure_device_ms(lambda: cg(x), _sync_out)
     ips = batch / (ms / 1e3)
     print(
         f"[bench] {name} {precision} batch={batch}: {ms:.3f} ms/iter, "
@@ -73,15 +74,54 @@ def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
     return ms, ips
 
 
+def bench_model_uint8(name, batch):
+    """Full-integer UINT8 inference (the BASELINE.json headline config)."""
+    import jax
+    import tengine_tpu as tt
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+
+    rng = np.random.default_rng(0)
+    g = load_benchmark_model(name, fill_missing_weights="random")
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    calib = [rng.standard_normal(shape).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+    cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
+    t_in = qg.tensors[qg.input_tensors[0]]
+    shape[0] = batch
+    xq = jax.device_put(
+        qmath.quantize_np(
+            np.broadcast_to(calib[0], shape), t_in.quant, t_in.dtype
+        )
+    )
+    ms = measure_device_ms(lambda: cg(xq), _sync_out)
+    return ms, batch / (ms / 1e3)
+
+
 def main():
     model = "mobilenetv1"
-    baseline_ms = 32.07  # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md)
-    ms, ips = bench_model(model, baseline_ms)
+    # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md) => 31.2 img/s.
+    # BASELINE.json's metric is images/sec/chip for INT8/UINT8 inference.
+    baseline_ms = 32.07
+    baseline_ips = 1000.0 / baseline_ms
+
+    fp32_ms, fp32_ips = bench_model(model, baseline_ms)
+
+    u8_lat_ms, _ = bench_model_uint8(model, batch=1)
+    u8_ms, u8_ips = bench_model_uint8(model, batch=128)
+    print(
+        f"[bench] {model} uint8: p50-ish latency {u8_lat_ms:.3f} ms (batch 1); "
+        f"{u8_ips:.0f} img/s (batch 128) vs baseline {baseline_ips:.1f} img/s "
+        f"-> {u8_ips/baseline_ips:.0f}x",
+        file=sys.stderr,
+    )
     result = {
-        "metric": f"{model}_fp32_latency",
-        "value": round(ms, 3),
-        "unit": "ms",
-        "vs_baseline": round(baseline_ms / ms, 2),
+        "metric": f"{model}_uint8_images_per_sec_per_chip",
+        "value": round(u8_ips, 0),
+        "unit": "img/s",
+        "vs_baseline": round(u8_ips / baseline_ips, 1),
     }
     print(json.dumps(result))
 

@@ -50,6 +50,12 @@ class Options:
     donate_input: bool = False
     batch_size: Optional[int] = None  # override model batch dim
     internal_layout: str = "NHWC"  # lowering layout for conv stacks: NHWC | NCHW
+    # Use the Pallas int8 qgemm for large pointwise convs / FC. Bit-exact with
+    # the XLA fast path; standalone it beats XLA at K>=256, but each
+    # pallas_call is a fusion barrier, which currently costs more than it
+    # saves inside full conv nets — hence opt-in until the fused block
+    # kernels land.
+    pallas_qgemm: bool = False
 
     @classmethod
     def from_env(cls, **overrides) -> "Options":

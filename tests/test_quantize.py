@@ -60,10 +60,11 @@ def test_quantized_close_to_fp32(scheme, rng):
 
 @pytest.mark.parametrize("scheme", ["uint8", "int8"])
 @pytest.mark.parametrize("act", [-1, 0])
-def test_ref_vs_fast_quant_paths(scheme, act, rng):
+@pytest.mark.parametrize("pallas", [False, True])
+def test_ref_vs_fast_quant_paths(scheme, act, pallas, rng):
     _, qg, calib = make_quant_conv_graph(scheme, rng, act=act)
     s_ref = compile_graph(qg, Options(quant_mode="ref"))
-    s_fast = compile_graph(qg, Options(quant_mode="fast"))
+    s_fast = compile_graph(qg, Options(quant_mode="fast", pallas_qgemm=pallas))
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[1], t_in.quant, t_in.dtype)
     (a,) = s_ref.run(xq)
