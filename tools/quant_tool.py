@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""PTQ quantization tool — quant_tool_int8/uint8 equivalent
+(tools/quantize/quant_tool_int8.cpp).
+
+Loads an fp32 tmfile, calibrates on images (or random data), quantizes, and
+writes a quantized tmfile. Also reports per-layer cosine similarity vs the
+fp32 graph — the reference's "Step Evaluate" quality gate
+(tools/quantize/README.md).
+
+Usage:
+    python tools/quant_tool.py -m fp32.tmfile -o int8.tmfile -t int8 -a kl \\
+        -i calib_dir/ --input-shape 1,3,224,224
+"""
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+def load_calibration(args, shape):
+    """Calibration batches: image dir (decoded via PIL if available) or
+    synthetic random data."""
+    if args.images and os.path.isdir(args.images):
+        files = sorted(
+            glob.glob(os.path.join(args.images, "*")))[: args.num_images]
+        try:
+            from PIL import Image
+
+            batches = []
+            for fpath in files:
+                img = Image.open(fpath).convert("RGB").resize((shape[3], shape[2]))
+                a = np.asarray(img, np.float32).transpose(2, 0, 1)[None]
+                a = (a - np.array(args.mean).reshape(1, 3, 1, 1)) * np.array(
+                    args.scale
+                ).reshape(1, 3, 1, 1)
+                batches.append(a.astype(np.float32))
+            if batches:
+                return batches
+        except ImportError:
+            print("PIL unavailable; falling back to random calibration", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    return [rng.standard_normal(shape).astype(np.float32) for _ in range(args.num_images)]
+
+
+def cosine_report(g, qg, x):
+    """Per-layer cosine similarity fp32-vs-quantized (quant tool 'Step
+    Evaluate' analog)."""
+    import jax
+    from tengine_tpu.executor.engine import ParamStore, build_forward
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.utils.config import Options
+
+    def run_all(graph, inp):
+        store = ParamStore()
+        fwd, _, _ = build_forward(graph, Options(), store, return_all=True)
+        abstract = [jax.ShapeDtypeStruct(inp.shape, inp.dtype)]
+        store.phase = "prepare"
+        jax.eval_shape(fwd, {}, *abstract)
+        params = {k: jax.numpy.asarray(v) for k, v in store.values.items()}
+        store.phase = "trace"
+        return jax.jit(fwd)(params, inp)
+
+    env_f = run_all(g, x)
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(x, t_in.quant, t_in.dtype)
+    env_q = run_all(qg, xq)
+
+    print(f"{'tensor':40} {'cosine':>8}")
+    for tid, arr in env_f.items():
+        if tid not in env_q:
+            continue
+        t = qg.tensors[tid]
+        a = np.asarray(arr, np.float32).reshape(-1)
+        b = np.asarray(env_q[tid])
+        if t.quant is not None and b.dtype in (np.uint8, np.int8):
+            b = qmath.dequantize_np(b, t.quant)
+        b = b.reshape(-1).astype(np.float32)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        cos = float(a @ b / denom) if denom > 0 else 1.0
+        print(f"{t.name[:40]:40} {cos:8.4f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-m", "--model", required=True, help="input fp32 tmfile")
+    ap.add_argument("-o", "--output", required=True, help="output quantized tmfile")
+    ap.add_argument("-t", "--type", default="uint8", choices=["uint8", "int8"])
+    ap.add_argument("-a", "--algorithm", default="minmax", choices=["minmax", "kl"])
+    ap.add_argument("-i", "--images", default=None, help="calibration image dir")
+    ap.add_argument("-n", "--num-images", type=int, default=8)
+    ap.add_argument("--input-shape", default=None, help="n,c,h,w if absent from model")
+    ap.add_argument("--mean", type=float, nargs=3, default=[104.0, 117.0, 123.0])
+    ap.add_argument("--scale", type=float, nargs=3, default=[1.0, 1.0, 1.0])
+    ap.add_argument("--evaluate", action="store_true", help="per-layer cosine report")
+    args = ap.parse_args()
+
+    import tengine_tpu as tt
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.serializer.tm2.writer import save_tmfile
+
+    g = tt.load_model(args.model)
+    tid = g.input_tensors[0]
+    if args.input_shape:
+        g.tensors[tid].shape = [int(v) for v in args.input_shape.split(",")]
+    shape = [int(d) for d in g.tensors[tid].shape]
+    if not shape:
+        ap.error("model has no input shape; pass --input-shape")
+
+    calib = load_calibration(args, shape)
+    print(f"calibrating on {len(calib)} batches, scheme={args.type}, "
+          f"algorithm={args.algorithm}")
+    qg = quantize_graph(g, calib, scheme=args.type, algorithm=args.algorithm)
+    save_tmfile(qg, args.output)
+    print(f"wrote {args.output}")
+
+    if args.evaluate:
+        cosine_report(g, qg, calib[0])
+
+
+if __name__ == "__main__":
+    main()
