@@ -13,8 +13,11 @@ c_api.h):
 
 from .graph.ir import DType, Graph, Layout, Node, QuantParam, Tensor, TensorType
 from .serializer.tm2.reader import load_tm_bytes, load_tmfile
+from .serializer.tm2.writer import graph_to_tm_bytes, save_tmfile
 from .executor.engine import CompiledGraph, compile_graph, infer_shapes
 from .utils.config import Options
+from .utils.log import set_log_level, set_log_output
+from .api import register_custom_op
 
 __version__ = "0.1.0"
 

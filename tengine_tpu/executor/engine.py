@@ -28,6 +28,7 @@ import numpy as np
 
 from ..graph.ir import DType, Graph, Node, Tensor, TensorType
 from ..ops import lowering as _lowering  # noqa: F401 — populate registry
+from ..ops import lowering_extra as _lowering_extra  # noqa: F401
 from ..ops import detection as _detection  # noqa: F401
 from ..ops import qmath
 from ..ops import quantized as _quantized  # noqa: F401
