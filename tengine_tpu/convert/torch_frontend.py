@@ -1,0 +1,250 @@
+"""Torch front-end: torch.nn.Module -> IR Graph (convert_tool equivalent).
+
+The reference's convert_tool ingests 7 legacy formats (Caffe/ONNX/TF/TFLite/
+MXNet/Darknet/ncnn — tools/convert_tool/) into its IR and runs fusion passes.
+Our equivalent front-end ingests PyTorch models via torch.fx symbolic
+tracing — the format today's users actually hold weights in — mapping
+modules/functions onto the same TM2 op set, so converted graphs can be saved
+as tmfiles (serializer/tm2/writer.py) and run by either engine. Conv+BN
+folding (the converter-time fusion in graph_opt.cpp:624-947) is applied via
+graph/passes.fold_batchnorm after import.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..graph.ir import DType, Graph, TensorType
+from ..serializer.tm2.format import ELT_SUM, ELT_PROD
+
+
+def from_torch(model, example_input) -> Graph:
+    """Trace a torch.nn.Module and build an IR Graph.
+
+    Supported: Conv2d (incl. groups/dilation), BatchNorm2d, Linear,
+    ReLU/ReLU6/LeakyReLU/Sigmoid/Tanh/Hardswish/Hardsigmoid/SiLU/GELU/ELU/
+    Softmax, MaxPool2d/AvgPool2d/AdaptiveAvgPool2d, Flatten, Dropout,
+    Upsample, add/mul/cat/flatten/reshape/permute/mean.
+    """
+    import torch
+    import torch.fx as fx
+
+    model = model.eval()
+    traced = fx.symbolic_trace(model)
+    modules = dict(traced.named_modules())
+
+    g = Graph(name=type(model).__name__)
+    env: Dict[str, int] = {}  # fx node name -> tensor idx
+
+    x = np.asarray(example_input.detach().cpu().numpy() if hasattr(example_input, "detach") else example_input)
+
+    def const(name: str, arr: np.ndarray) -> int:
+        t = g.add_tensor(name, DType.FP32, list(arr.shape), TensorType.CONST,
+                         data=np.ascontiguousarray(arr, np.float32))
+        return t.idx
+
+    def var(name: str) -> int:
+        return g.add_tensor(name, DType.FP32, [], TensorType.VAR).idx
+
+    def emit(op: str, name: str, inputs: List[int], params: Optional[dict] = None,
+             n_out: int = 1) -> List[int]:
+        outs = [var(f"{name}/out{i}" if n_out > 1 else name) for i in range(n_out)]
+        g.add_node(op, name, inputs, outs, params=params or {})
+        return outs
+
+    import torch.nn as nn
+    import torch.nn.functional as F
+    import operator
+
+    _ACT_MODULES = {
+        nn.ReLU: ("ReLu", {"negative_slope": 0.0}),
+        nn.ReLU6: ("ReLu6", {}),
+        nn.Sigmoid: ("Sigmoid", {}),
+        nn.Tanh: ("Tanh", {}),
+        nn.Hardswish: ("HardSwish", {"alpha": 1.0 / 6.0, "beta": 0.5}),
+        nn.Hardsigmoid: ("Hardsigmoid", {"alpha": 1.0 / 6.0, "beta": 0.5}),
+        nn.GELU: ("Gelu", {}),
+        nn.ELU: ("Elu", {"alpha": 1.0}),
+        nn.Softmax: None,  # handled below (axis)
+        nn.Dropout: ("Dropout", {}),
+        nn.Identity: ("Noop", {}),
+    }
+
+    for node in traced.graph.nodes:
+        if node.op == "placeholder":
+            t = g.add_tensor(node.name, DType.FP32, list(x.shape), TensorType.INPUT)
+            inp = g.add_node("InputOp", node.name, [], [t.idx])
+            g.inputs.append(inp.idx)
+            env[node.name] = t.idx
+
+        elif node.op == "call_module":
+            m = modules[node.target]
+            xin = env[node.args[0].name]
+            name = node.target.replace(".", "/")
+
+            if isinstance(m, nn.Conv2d):
+                w = m.weight.detach().numpy()
+                ins = [xin, const(f"{name}/w", w)]
+                if m.bias is not None:
+                    ins.append(const(f"{name}/b", m.bias.detach().numpy()))
+                env[node.name] = emit(
+                    "Convolution", name, ins,
+                    dict(kernel_h=m.kernel_size[0], kernel_w=m.kernel_size[1],
+                         stride_h=m.stride[0], stride_w=m.stride[1],
+                         dilation_h=m.dilation[0], dilation_w=m.dilation[1],
+                         input_channel=m.in_channels, output_channel=m.out_channels,
+                         group=m.groups, activation=-1,
+                         pad_h0=m.padding[0], pad_h1=m.padding[0],
+                         pad_w0=m.padding[1], pad_w1=m.padding[1]),
+                )[0]
+            elif isinstance(m, nn.BatchNorm2d):
+                ins = [
+                    xin,
+                    const(f"{name}/gamma", m.weight.detach().numpy()),
+                    const(f"{name}/beta", m.bias.detach().numpy()),
+                    const(f"{name}/mean", m.running_mean.detach().numpy()),
+                    const(f"{name}/var", m.running_var.detach().numpy()),
+                ]
+                env[node.name] = emit(
+                    "BatchNormalization", name, ins,
+                    dict(rescale_factor=1.0, eps=m.eps, caffe_flavor=0),
+                )[0]
+            elif isinstance(m, nn.Linear):
+                w = m.weight.detach().numpy()
+                ins = [xin, const(f"{name}/w", w)]
+                if m.bias is not None:
+                    ins.append(const(f"{name}/b", m.bias.detach().numpy()))
+                env[node.name] = emit(
+                    "FullyConnected", name, ins, dict(num_output=m.out_features)
+                )[0]
+            elif isinstance(m, nn.MaxPool2d) or isinstance(m, nn.AvgPool2d):
+                k = m.kernel_size if isinstance(m.kernel_size, tuple) else (m.kernel_size,) * 2
+                s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
+                p = m.padding if isinstance(m.padding, tuple) else (m.padding,) * 2
+                alg = 0 if isinstance(m, nn.MaxPool2d) else 1
+                caffe = 1 if getattr(m, "ceil_mode", False) else 0
+                if alg == 1 and getattr(m, "count_include_pad", True):
+                    caffe |= 0x10
+                env[node.name] = emit(
+                    "Pooling", name, [xin],
+                    dict(alg=alg, kernel_h=k[0], kernel_w=k[1], stride_h=s[0],
+                         stride_w=s[1], global_pool=0, caffe_flavor=caffe,
+                         pad_h0=p[0], pad_h1=p[0], pad_w0=p[1], pad_w1=p[1]),
+                )[0]
+            elif isinstance(m, nn.AdaptiveAvgPool2d):
+                env[node.name] = emit(
+                    "Pooling", name, [xin],
+                    dict(alg=1, kernel_h=0, kernel_w=0, stride_h=1, stride_w=1,
+                         global_pool=1, caffe_flavor=0, pad_h0=0, pad_h1=0,
+                         pad_w0=0, pad_w1=0),
+                )[0]
+            elif isinstance(m, nn.Softmax):
+                env[node.name] = emit("Softmax", name, [xin], dict(axis=m.dim or 1))[0]
+            elif isinstance(m, nn.LeakyReLU):
+                env[node.name] = emit(
+                    "ReLu", name, [xin], dict(negative_slope=m.negative_slope)
+                )[0]
+            elif isinstance(m, nn.SiLU):
+                # x * sigmoid(x): emit Sigmoid + BroadMul
+                s_out = emit("Sigmoid", f"{name}/sigmoid", [xin])[0]
+                env[node.name] = emit("BroadMul", name, [xin, s_out])[0]
+            elif isinstance(m, nn.Flatten):
+                env[node.name] = emit("Flatten", name, [xin],
+                                      dict(axis=m.start_dim, end_axis=m.end_dim))[0]
+            elif isinstance(m, nn.Upsample):
+                sf = m.scale_factor if m.scale_factor else 2.0
+                sf = float(sf if not isinstance(sf, tuple) else sf[0])
+                if m.mode == "nearest":
+                    env[node.name] = emit("Upsample", name, [xin], dict(scale=sf))[0]
+                else:
+                    env[node.name] = emit(
+                        "Interp", name, [xin],
+                        dict(resize_type=2, width_scale=sf, height_scale=sf,
+                             output_width=0, output_height=0),
+                    )[0]
+            elif type(m) in _ACT_MODULES and _ACT_MODULES[type(m)]:
+                op, params = _ACT_MODULES[type(m)]
+                env[node.name] = emit(op, name, [xin], params)[0]
+            else:
+                raise NotImplementedError(f"torch module {type(m).__name__} ({node.target})")
+
+        elif node.op == "call_function" or node.op == "call_method":
+            fn = node.target
+            name = node.name
+
+            def arg_idx(a):
+                return env[a.name]
+
+            if fn in (operator.add, torch.add) or fn == "add":
+                env[node.name] = emit(
+                    "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
+                    dict(type=ELT_SUM, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
+                )[0]
+            elif fn in (operator.mul, torch.mul) or fn == "mul":
+                env[node.name] = emit(
+                    "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
+                    dict(type=ELT_PROD, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
+                )[0]
+            elif fn in (torch.cat,) or fn == "cat":
+                tensors = node.args[0]
+                axis = node.args[1] if len(node.args) > 1 else node.kwargs.get("dim", 0)
+                env[node.name] = emit(
+                    "Concat", name, [arg_idx(t) for t in tensors], dict(axis=axis)
+                )[0]
+            elif fn in (torch.flatten,) or fn == "flatten":
+                start = node.args[1] if len(node.args) > 1 else node.kwargs.get("start_dim", 0)
+                env[node.name] = emit(
+                    "Flatten", name, [arg_idx(node.args[0])], dict(axis=start, end_axis=-1)
+                )[0]
+            elif fn == F.relu or fn == "relu":
+                env[node.name] = emit("ReLu", name, [arg_idx(node.args[0])],
+                                      dict(negative_slope=0.0))[0]
+            elif fn == F.relu6:
+                env[node.name] = emit("ReLu6", name, [arg_idx(node.args[0])])[0]
+            elif fn == torch.sigmoid or fn == "sigmoid" or fn == F.sigmoid:
+                env[node.name] = emit("Sigmoid", name, [arg_idx(node.args[0])])[0]
+            elif fn == F.softmax or fn == "softmax":
+                axis = node.args[1] if len(node.args) > 1 else node.kwargs.get("dim", 1)
+                env[node.name] = emit("Softmax", name, [arg_idx(node.args[0])],
+                                      dict(axis=axis))[0]
+            elif fn == F.adaptive_avg_pool2d:
+                env[node.name] = emit(
+                    "Pooling", name, [arg_idx(node.args[0])],
+                    dict(alg=1, kernel_h=0, kernel_w=0, stride_h=1, stride_w=1,
+                         global_pool=1, caffe_flavor=0, pad_h0=0, pad_h1=0,
+                         pad_w0=0, pad_w1=0),
+                )[0]
+            elif fn == "view" or fn == "reshape" or fn == torch.reshape:
+                shape = [
+                    int(a) if not hasattr(a, "name") else -1
+                    for a in (node.args[1:] if fn != torch.reshape else node.args[1])
+                ]
+                env[node.name] = emit(
+                    "Reshape", name, [arg_idx(node.args[0])],
+                    dict(shape=shape, is_onnx=1, is_mxnet=0, reverse=0),
+                )[0]
+            elif fn == "mean" and (node.args[1:] == ((2, 3),) or node.kwargs.get("dim") in ((2, 3), [2, 3])):
+                env[node.name] = emit(
+                    "Pooling", name, [arg_idx(node.args[0])],
+                    dict(alg=1, kernel_h=0, kernel_w=0, stride_h=1, stride_w=1,
+                         global_pool=1, caffe_flavor=0, pad_h0=0, pad_h1=0,
+                         pad_w0=0, pad_w1=0),
+                )[0]
+            elif fn == "permute":
+                order = list(node.args[1]) if isinstance(node.args[1], (tuple, list)) else list(node.args[1:])
+                env[node.name] = emit("Transpose", name, [arg_idx(node.args[0])],
+                                      dict(perm=order))[0]
+            elif fn == getattr(operator, "getitem", None):
+                raise NotImplementedError("tensor slicing in traced torch model")
+            else:
+                raise NotImplementedError(f"torch function {fn} in traced graph")
+
+        elif node.op == "output":
+            arg = node.args[0]
+            outs = arg if isinstance(arg, (tuple, list)) else [arg]
+            for a in outs:
+                g.outputs.append(g.tensors[env[a.name]].producer)
+
+    return g

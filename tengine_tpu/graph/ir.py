@@ -243,7 +243,10 @@ class Graph:
             ready.update(self.nodes[ni].outputs)
 
         order: List[Node] = []
-        pending = [n for n in self.nodes if n.op not in ("Const", "InputOp")]
+        # dead Noop shells (left by fusion passes) have no outputs — skip
+        pending = [
+            n for n in self.nodes if n.op not in ("Const", "InputOp") and n.outputs
+        ]
         emitted = set()
         progress = True
         while pending and progress:
