@@ -210,8 +210,31 @@ def _graph_quantized(graph: Graph) -> bool:
     return cached
 
 
+_CACHE_SET = False
+
+
+def _enable_compilation_cache():
+    """JAX persistent compilation cache — the analog of the reference's
+    compiled-NPU-kernel cache (TENGINE_CACHE_DIR / TIM-VX .tmcache,
+    timvx_executor.cc:411-426). Controlled by TT_CACHE_DIR."""
+    global _CACHE_SET
+    if _CACHE_SET:
+        return
+    _CACHE_SET = True
+    import os
+
+    cache_dir = os.environ.get("TT_CACHE_DIR")
+    if cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass
+
+
 def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGraph:
     """prerun_graph_multithread analog: prepare, trace, jit-compile."""
+    _enable_compilation_cache()
     options = options or Options.from_env()
     store = ParamStore()
     forward, input_ids, output_ids = build_forward(graph, options, store)

@@ -1,0 +1,154 @@
+"""Native (C++) runtime components with self-bootstrapping build.
+
+The reference's runtime is C end-to-end; here the compute path is XLA, and
+the native layer covers the host-side hot paths the reference also keeps
+native: image preprocessing (examples/common/tengine_operations.c analog)
+and tmfile scanning. Compiled on first use with g++ into
+~/.cache/tengine_tpu/libtengine_tpu_native.so; every function has a numpy
+fallback so the package works without a toolchain.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+from ..utils.log import logger
+
+_SRC = os.path.join(os.path.dirname(__file__), "improc.cc")
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _build_and_load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    try:
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = os.path.join(
+            os.environ.get("TT_CACHE_DIR", os.path.expanduser("~/.cache/tengine_tpu"))
+        )
+        os.makedirs(cache, exist_ok=True)
+        lib_path = os.path.join(cache, f"libtengine_tpu_native-{digest}.so")
+        if not os.path.exists(lib_path):
+            tmp = lib_path + ".tmp"
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", tmp],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, lib_path)
+        lib = ctypes.CDLL(lib_path)
+        lib.tt_tm2_scan_buffers.restype = ctypes.c_long
+        _LIB = lib
+    except Exception as e:  # pragma: no cover - depends on toolchain
+        logger.info("native library unavailable (%s); using numpy fallbacks", e)
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return _build_and_load() is not None
+
+
+def _cptr(arr: np.ndarray):
+    return arr.ctypes.data_as(ctypes.c_void_p)
+
+
+def resize_bilinear(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """HWC uint8 bilinear resize (tengine_operations.c resize_image)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    lib = _build_and_load()
+    out = np.empty((out_h, out_w, c), np.uint8)
+    if lib is not None:
+        lib.tt_resize_bilinear_u8(
+            _cptr(img), h, w, c, _cptr(out), out_h, out_w
+        )
+        return out
+    # numpy fallback: half-pixel bilinear
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    v = (
+        img[y0][:, x0] * (1 - wy) * (1 - wx)
+        + img[y0][:, x1] * (1 - wy) * wx
+        + img[y1][:, x0] * wy * (1 - wx)
+        + img[y1][:, x1] * wy * wx
+    )
+    return np.clip(np.rint(v), 0, 255).astype(np.uint8)
+
+
+def normalize_chw(img: np.ndarray, mean, scale) -> np.ndarray:
+    """HWC uint8 -> CHW fp32, (x - mean[c]) * scale[c]."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    mean = np.ascontiguousarray(mean, np.float32)
+    scale = np.ascontiguousarray(scale, np.float32)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty((c, h, w), np.float32)
+        lib.tt_normalize_chw_f32(
+            _cptr(img), h, w, c, _cptr(mean), _cptr(scale), _cptr(out)
+        )
+        return out
+    return ((img.astype(np.float32) - mean) * scale).transpose(2, 0, 1)
+
+
+def quantize_u8(x: np.ndarray, scale: float, zero_point: int) -> np.ndarray:
+    """fp32 -> uint8 input quantization (tm_classification_uint8.c)."""
+    x = np.ascontiguousarray(x, np.float32)
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty(x.shape, np.uint8)
+        lib.tt_quantize_u8(
+            _cptr(x), x.size, ctypes.c_float(scale), int(zero_point), _cptr(out)
+        )
+        return out
+    return np.clip(np.rint(x / scale) + zero_point, 0, 255).astype(np.uint8)
+
+
+def letterbox(img: np.ndarray, out_h: int, out_w: int, pad_value: int = 114) -> np.ndarray:
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    lib = _build_and_load()
+    if lib is not None:
+        out = np.empty((out_h, out_w, c), np.uint8)
+        lib.tt_letterbox_u8(
+            _cptr(img), h, w, c, _cptr(out), out_h, out_w, pad_value
+        )
+        return out
+    r = min(out_h / h, out_w / w)
+    nh, nw = round(h * r), round(w * r)
+    resized = resize_bilinear(img, nh, nw)
+    out = np.full((out_h, out_w, c), pad_value, np.uint8)
+    oy, ox = (out_h - nh) // 2, (out_w - nw) // 2
+    out[oy : oy + nh, ox : ox + nw] = resized
+    return out
+
+
+def tm2_scan_buffers(data: bytes) -> Optional[np.ndarray]:
+    """Const-buffer table [(tensor_id, offset, size)] via the native scanner;
+    None when the native lib is unavailable."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    table = np.zeros((65536, 3), np.uint64)
+    n = lib.tt_tm2_scan_buffers(_cptr(buf), len(data), _cptr(table), 65536)
+    if n < 0:
+        raise ValueError("native tm2 scan: malformed tmfile")
+    return table[:n]
