@@ -74,8 +74,8 @@ def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
     return ms, ips
 
 
-def bench_model_uint8(name, batch):
-    """Full-integer UINT8 inference (the BASELINE.json headline config)."""
+def bench_model_quant(name, batch, scheme="uint8", algorithm="minmax"):
+    """Full-integer quantized inference (the BASELINE.json configs)."""
     import jax
     import tengine_tpu as tt
     from tengine_tpu.models.zoo import load_benchmark_model
@@ -87,7 +87,7 @@ def bench_model_uint8(name, batch):
     g = load_benchmark_model(name, fill_missing_weights="random")
     shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
     calib = [rng.standard_normal(shape).astype(np.float32)]
-    qg = quantize_graph(g, calib, scheme="uint8")
+    qg = quantize_graph(g, calib, scheme=scheme, algorithm=algorithm)
     cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
     t_in = qg.tensors[qg.input_tensors[0]]
     shape[0] = batch
@@ -98,6 +98,10 @@ def bench_model_uint8(name, batch):
     )
     ms = measure_device_ms(lambda: cg(xq), _sync_out)
     return ms, batch / (ms / 1e3)
+
+
+def bench_model_uint8(name, batch):
+    return bench_model_quant(name, batch, scheme="uint8")
 
 
 def main():
@@ -117,6 +121,23 @@ def main():
         f"-> {u8_ips/baseline_ips:.0f}x",
         file=sys.stderr,
     )
+
+    # secondary BASELINE.json configs (stderr only)
+    try:
+        r50_ms, r50_ips = bench_model_quant("resnet50", batch=32, scheme="int8", algorithm="kl")
+        print(
+            f"[bench] resnet50 int8(KL): {r50_ips:.0f} img/s (batch 32) "
+            f"vs baseline {1000/174.66:.1f} img/s -> {r50_ips/(1000/174.66):.0f}x",
+            file=sys.stderr,
+        )
+        mssd_ms, mssd_ips = bench_model_quant("mssd", batch=8, scheme="uint8")
+        print(
+            f"[bench] mssd uint8 (incl. NMS): {mssd_ips:.0f} img/s (batch 8) "
+            f"vs baseline {1000/66.67:.1f} img/s -> {mssd_ips/(1000/66.67):.0f}x",
+            file=sys.stderr,
+        )
+    except Exception as e:
+        print(f"[bench] secondary configs failed: {e}", file=sys.stderr)
     result = {
         "metric": f"{model}_uint8_images_per_sec_per_chip",
         "value": round(u8_ips, 0),

@@ -512,6 +512,10 @@ def load_tm_bytes(data: bytes, name: str = "", fill_missing_weights: str = "zero
                 if fill_missing_weights == "random":
                     if t.dtype in (DType.FP32, DType.FP16):
                         arr = (rng.standard_normal(t.elem_num) * 0.05).astype(t.dtype.np)
+                        if len(t.shape) <= 1:
+                            # 1-D consts are biases / BN stats; variances must
+                            # be positive or BN produces NaN
+                            arr = np.abs(arr) + np.asarray(0.01, t.dtype.np)
                     else:
                         info = np.iinfo(t.dtype.np)
                         arr = rng.integers(
