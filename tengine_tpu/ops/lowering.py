@@ -748,12 +748,19 @@ def lower_concat(ctx: LowerCtx, *xs: TArr):
 
 @register_op("Flatten")
 def lower_flatten(ctx: LowerCtx, x: TArr):
-    """Flatten axis..end_axis (flatten.c): collapses [axis:] into one dim
-    (end_axis handling in reference collapses through end_axis)."""
+    """Flatten dims[axis..end_axis] into one (flatten.c infer_shape:
+    output is [n, prod(dims[axis..end_axis])]); end_axis < 0 counts from the
+    end (converters write 3 for NCHW; -1 is the caffe default)."""
     xs = as_semantic(x)
     axis = ctx.params.get("axis", 1)
-    lead = xs.shape[:axis]
-    return wrap(xs.reshape(*lead, -1))
+    end_axis = ctx.params.get("end_axis", -1)
+    if end_axis < 0:
+        end_axis = xs.ndim + end_axis
+    mid = 1
+    for d in xs.shape[axis : end_axis + 1]:
+        mid *= d
+    tail = xs.shape[end_axis + 1 :]
+    return wrap(xs.reshape(*xs.shape[:axis], mid, *tail))
 
 
 @register_op("Reshape")

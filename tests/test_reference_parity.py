@@ -190,3 +190,170 @@ def test_uint8_quantized_parity(tmp_path, rng):
     ref = ref.reshape(ours.shape)
     diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+
+
+# ---------------------------------------------------------------------------
+# batch 2: per-op parity via single-op graphs (the ONNX-fixture role of
+# the reference's tests/op/ suite, SURVEY §4 — with the real C engine as
+# the oracle instead of stored fixtures)
+# ---------------------------------------------------------------------------
+
+
+def _op_graph(op, params, in_shapes, consts=None):
+    from tengine_tpu.graph.ir import DType, Graph, TensorType
+
+    g = Graph(name=f"{op}_parity")
+    in_ids = []
+    for i, shp in enumerate(in_shapes):
+        t = g.add_tensor(f"in{i}", DType.FP32, list(shp), TensorType.INPUT)
+        n = g.add_node("InputOp", f"input{i}", [], [t.idx])
+        g.inputs.append(n.idx)
+        in_ids.append(t.idx)
+    for j, c in enumerate(consts or []):
+        t = g.add_tensor(f"c{j}", DType.FP32, list(c.shape), TensorType.CONST, data=c)
+        in_ids.append(t.idx)
+    out = g.add_tensor("out", DType.FP32, [], TensorType.VAR)
+    g.add_node(op, op.lower(), in_ids, [out.idx], params=params)
+    g.outputs = [g.nodes[-1].idx]
+    return g
+
+
+OP_CASES = [
+    ("ReLu", dict(negative_slope=0.1), [(1, 4, 6, 6)], None),
+    ("ReLu6", {}, [(1, 4, 6, 6)], None),
+    ("Clip", dict(min=-0.3, max=0.4), [(1, 4, 6, 6)], None),
+    ("Softmax", dict(axis=1), [(1, 10, 2, 2)], None),
+    ("Flatten", dict(axis=1, end_axis=3), [(1, 4, 3, 3)], None),
+    ("Permute", dict(flag=0, order0=0, order1=2, order2=3, order3=1), [(1, 3, 4, 5)], None),
+    ("Upsample", dict(scale=2.0), [(1, 3, 5, 5)], None),
+    ("Interp", dict(resize_type=1, width_scale=2.0, height_scale=2.0,
+                    output_width=10, output_height=10), [(1, 2, 5, 5)], None),
+    ("ShuffleChannel", dict(group=2), [(1, 8, 3, 3)], None),
+    ("Sigmoid", {}, [(1, 4, 3, 3)], None),
+    ("Tanh", {}, [(1, 4, 3, 3)], None),
+    ("HardSwish", dict(alpha=1.0 / 6.0, beta=0.5), [(1, 4, 3, 3)], None),
+    ("Mish", {}, [(1, 4, 3, 3)], None),
+    ("Reshape", dict(shape=[1, -1], is_onnx=1, is_mxnet=0, reverse=0), [(1, 4, 3, 3)], None),
+]
+
+
+@pytest.mark.parametrize(
+    "op,params,in_shapes,consts", OP_CASES, ids=[c[0] for c in OP_CASES]
+)
+def test_single_op_parity(op, params, in_shapes, consts, tmp_path, rng):
+    g = _op_graph(op, params, in_shapes, consts)
+    xs = [rng.standard_normal(s).astype(np.float32) for s in in_shapes]
+    ours = _ours_multi(g, xs)
+    ref = run_reference(_save(g, tmp_path), xs[0], tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def _ours_multi(g, xs):
+    from tengine_tpu.executor.engine import compile_graph
+
+    return compile_graph(g).run(*xs)[0]
+
+
+def test_eltwise_sum_parity(tmp_path, rng):
+    from tengine_tpu.serializer.tm2.format import ELT_SUM
+
+    g = _op_graph(
+        "Eltwise", dict(type=ELT_SUM, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
+        [(1, 4, 5, 5), (1, 4, 5, 5)],
+    )
+    xs = [rng.standard_normal((1, 4, 5, 5)).astype(np.float32) for _ in range(2)]
+    ours = _ours_multi(g, xs)
+    ref = run_reference_multi(_save(g, tmp_path), xs, tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_prelu_parity(tmp_path, rng):
+    slope = rng.standard_normal((4,)).astype(np.float32)
+    g = _op_graph("PReLU", {}, [(1, 4, 5, 5)], consts=[slope])
+    xs = [rng.standard_normal((1, 4, 5, 5)).astype(np.float32)]
+    ours = _ours_multi(g, xs)
+    ref = run_reference(_save(g, tmp_path), xs[0], tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_batchnorm_parity(tmp_path, rng):
+    c = 4
+    consts = [
+        rng.standard_normal((c,)).astype(np.float32),  # gamma
+        rng.standard_normal((c,)).astype(np.float32),  # beta
+        rng.standard_normal((c,)).astype(np.float32),  # mean
+        (np.abs(rng.standard_normal((c,))) + 0.5).astype(np.float32),  # var
+    ]
+    g = _op_graph(
+        "BatchNormalization", dict(rescale_factor=1.0, eps=1e-5, caffe_flavor=0),
+        [(1, c, 5, 5)], consts=consts,
+    )
+    xs = [rng.standard_normal((1, c, 5, 5)).astype(np.float32)]
+    ours = _ours_multi(g, xs)
+    ref = run_reference(_save(g, tmp_path), xs[0], tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_avgpool_caffe_parity(tmp_path, rng):
+    g = _op_graph(
+        "Pooling",
+        dict(alg=1, kernel_h=3, kernel_w=3, stride_h=2, stride_w=2, global_pool=0,
+             caffe_flavor=1, pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1),
+        [(1, 2, 7, 7)],
+    )
+    xs = [rng.standard_normal((1, 2, 7, 7)).astype(np.float32)]
+    ours = _ours_multi(g, xs)
+    ref = run_reference(_save(g, tmp_path), xs[0], tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_concat_parity(tmp_path, rng):
+    g = _op_graph("Concat", dict(axis=1), [(1, 2, 4, 4), (1, 3, 4, 4)])
+    xs = [rng.standard_normal((1, 2, 4, 4)).astype(np.float32),
+          rng.standard_normal((1, 3, 4, 4)).astype(np.float32)]
+    ours = _ours_multi(g, xs)
+    ref = run_reference_multi(_save(g, tmp_path), xs, tmp_path).reshape(ours.shape)
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+_RUNNER_MULTI = r"""
+import sys, os, json
+import numpy as np
+sys.path.insert(0, '/root/reference/pytengine')
+from tengine import tg
+
+tmfile, out_npy = sys.argv[1], sys.argv[2]
+in_files = sys.argv[3:]
+graph = tg.Graph(None, 'tengine', tmfile)
+arrays = [np.load(f) for f in in_files]
+tensors = []
+for i, a in enumerate(arrays):
+    t = graph.getInputTensor(i, 0)
+    t.shape = list(a.shape)
+    tensors.append(t)
+graph.preRun()
+for t, a in zip(tensors, arrays):
+    t.buf = a
+graph.run(1)
+out = np.array(graph.getOutputTensor(0, 0).buf)
+np.save(out_npy, out)
+os._exit(0)
+"""
+
+
+def run_reference_multi(tmfile, xs, tmp_path):
+    import json
+
+    in_files = []
+    for i, x in enumerate(xs):
+        p = str(tmp_path / f"in{i}.npy")
+        np.save(p, x)
+        in_files.append(p)
+    out_npy = str(tmp_path / "out_multi.npy")
+    env = dict(os.environ, LD_LIBRARY_PATH=REF_LIB_DIR, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", _RUNNER_MULTI, tmfile, out_npy] + in_files,
+        capture_output=True, text=True, env=env, timeout=120,
+    )
+    assert os.path.exists(out_npy), f"reference run failed:\n{r.stdout}\n{r.stderr}"
+    return np.load(out_npy)
