@@ -356,3 +356,126 @@ def graph_to_tm_bytes(graph: Graph) -> bytes:
 def save_tmfile(graph: Graph, path: str) -> None:
     with open(path, "wb") as f:
         f.write(graph_to_tm_bytes(graph))
+
+
+def _w_deconv(b: Builder, p: Dict[str, Any]) -> int:
+    return b.pack(
+        "15i",
+        p.get("num_output", 0), p["kernel_h"], p["kernel_w"],
+        p["stride_h"], p["stride_w"],
+        p.get("pad_w0", 0), p.get("pad_h0", 0), p.get("pad_w1", 0), p.get("pad_h1", 0),
+        p.get("dilation_h", 1), p.get("dilation_w", 1), p.get("group", 1),
+        p.get("activation", -1), p.get("output_pad_h0", 0), p.get("output_pad_w0", 0),
+    )
+
+
+def _w_region(b: Builder, p: Dict[str, Any]) -> int:
+    o_biases = b.vec_f32(p.get("biases") or [])
+    return b.pack(
+        "iiiiffI",
+        p.get("num_classes", 0), p.get("side", 0), p.get("num_box", 0),
+        p.get("coords", 4), p.get("confidence_threshold", 0.0),
+        p.get("nms_threshold", 0.0), o_biases,
+    )
+
+
+def _w_rpn(b: Builder, p: Dict[str, Any]) -> int:
+    o_ratios = b.vec_f32(p.get("ratios") or [])
+    o_scales = b.vec_f32(p.get("anchor_scales") or [])
+    o_anchors = b.vec_anchors(p.get("anchors") or [])
+    return b.pack(
+        "IIiiiiifI",
+        o_ratios, o_scales, p.get("feat_stride", 16), p.get("basesize", 16),
+        p.get("min_size", 16), p.get("per_nms_topn", 6000),
+        p.get("post_nms_topn", 300), p.get("nms_thresh", 0.7), o_anchors,
+    )
+
+
+def _w_dpp(b: Builder, p: Dict[str, Any]) -> int:
+    o_scales = b.vec_f32(p.get("scales") or [])
+    return b.pack(
+        "iiffiI",
+        p.get("max_detections", 100), p.get("max_classes_per_detection", 1),
+        p.get("nms_score_threshold", 0.0), p.get("nms_iou_threshold", 0.5),
+        p.get("num_classes", 0), o_scales,
+    )
+
+
+def _w_crop(b: Builder, p: Dict[str, Any]) -> int:
+    o = b.pack(
+        "6iBxxx",
+        p.get("num_args", 0), p.get("offset_c", 0), p.get("offset_h", 0),
+        p.get("offset_w", 0), p.get("crop_h", 0), p.get("crop_w", 0),
+        1 if p.get("center_crop") else 0,
+    )
+    b.pack("ii", p.get("axis", 2), p.get("flag", 0))
+    return o
+
+
+def _w_expand(b: Builder, p: Dict[str, Any]) -> int:
+    o_shape = b.vec_i32(p.get("shape") or [])
+    return b.pack("Ii", o_shape, p.get("dim_num", len(p.get("shape") or [])))
+
+
+def _w_tile(b: Builder, p: Dict[str, Any]) -> int:
+    o_reps = b.vec_i32(p.get("reps") or [])
+    return b.pack("iiI", p.get("frame_flag", 0), len(p.get("reps") or []), o_reps)
+
+
+def _w_scatter(b: Builder, p: Dict[str, Any]) -> int:
+    return b.pack("iBxxx", p.get("axis", 0), 1 if p.get("is_onnx") else 0)
+
+
+def _w_spatial_transformer(b: Builder, p: Dict[str, Any]) -> int:
+    o_shape = b.vec_i32(p.get("target_shape") or [])
+    return b.pack(
+        "iiiI", p.get("sampler_type", 0), p.get("transformer_type", 0),
+        len(p.get("target_shape") or []), o_shape,
+    )
+
+
+def _w_generic(b: Builder, p: Dict[str, Any]) -> int:
+    o_name = b.string(p.get("op_name", ""))
+    return b.pack("iiI", p.get("max_input_num", 1), p.get("max_output_num", 1), o_name)
+
+
+PARAM_WRITERS.update({
+    "Deconvolution": _w_deconv,
+    "Region": _w_region,
+    "RPN": _w_rpn,
+    "DetectionPostProcess": _w_dpp,
+    "Crop": _w_crop,
+    "Expand": _w_expand,
+    "Tile": _w_tile,
+    "Scatter": _w_scatter,
+    "SpatialTransformer": _w_spatial_transformer,
+    "Generic": _w_generic,
+    "ROIPooling": _w_fields("iif", ["pooled_h", "pooled_w", "spatial_scale"]),
+    "SpaceToBatchND": _w_fields(
+        "6i", ["dilation_x", "dilation_y", "pad_top", "pad_bottom", "pad_left", "pad_right"]
+    ),
+    "BatchToSpaceND": _w_fields(
+        "6i", ["dilation_x", "dilation_y", "crop_top", "crop_bottom", "crop_left", "crop_right"]
+    ),
+    "SparseToDense": _w_fields(
+        "3i", ["output_shape_size0", "output_shape_size1", "default_value"]
+    ),
+    "LSTM": _w_fields(
+        "ff16i",
+        ["forget_bias", "clip", "output_len", "sequence_len", "input_size",
+         "hidden_size", "cell_size", "has_peephole", "has_projection", "has_clip",
+         "has_bias", "has_init_state", "forget_act", "input_act", "output_act",
+         "cellin_act", "cellout_act", "mxnet_flag"],
+    ),
+    "RNN": _w_fields(
+        "f8i",
+        ["clip", "output_len", "sequence_len", "input_size", "hidden_size",
+         "has_clip", "has_bias", "has_init_state", "activation"],
+    ),
+    "GRU": _w_fields(
+        "f9i",
+        ["clip", "output_len", "sequence_len", "input_size", "hidden_size",
+         "has_clip", "has_gate_bias", "has_candidate_bias", "has_init_state",
+         "mxnet_flag"],
+    ),
+})
