@@ -1,0 +1,182 @@
+"""Fused depthwise-3x3 + pointwise-1x1 quantized Pallas kernel.
+
+The mobilenet block (dw3x3 -> requant -> pw1x1 -> requant) dominates the
+depthwise-separable nets. Split across two XLA convs, the dw intermediate
+makes a full HBM round trip per block; this kernel keeps it in VMEM:
+
+    grid over (batch, output-row tiles):
+      DMA  input rows [TH*s + 2, W + 2, C] incl. halo from HBM  (manual
+           async copy — halo windows overlap, which BlockSpec can't express)
+      dw:  9 shifted VPU multiply-accumulates (int32), per-channel requant
+           -> re-centered int8 intermediate [TH*OW, C] in VMEM
+      pw:  MXU int8 dot [TH*OW, C] x [C, C2] -> int32 -> per-channel requant
+      out  tile [TH, OW, C2] (uint8/int8) via the out BlockSpec
+
+Both requant stages use the reference numerics (round-half-away, clip), so
+the fused kernel matches running the two stages separately (same <=1 LSB
+accumulation-order caveat as the unfused fast path). Supported: 3x3, pad 1,
+stride 1 or 2 — the mobilenet-family block; uint8 asymmetric or int8
+symmetric tensors (input is padded with zp_in so padding is zero after the
+shift).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _requant(q, zp, act, inv_s, lo, hi):
+    if act is not None and act >= 0:
+        if act == 1:
+            q = jnp.clip(q, zp - inv_s, zp + inv_s)
+        else:
+            q = jnp.maximum(q, float(zp))
+            if act > 0:
+                q = jnp.minimum(q, act * inv_s + zp)
+    return jnp.clip(_round_away(q), lo, hi)
+
+
+def _kernel(
+    x_hbm,      # [N, H+2, W+2, C] padded input (ANY/HBM)
+    wd_ref,     # [9, C] int32 shifted dw taps
+    md_ref,     # [1, C]
+    bd_ref,     # [1, C]
+    wp_ref,     # [C, C2] int8
+    mp_ref,     # [1, C2]
+    bp_ref,     # [1, C2]
+    o_ref,      # [1, TH, OW, C2]
+    x_vmem,     # scratch [in_rows, W+2, C] (input dtype)
+    mid_scratch,  # scratch [TH*OW, C] int8
+    sem,
+    *,
+    stride, th, ow, zp_in, act_d, act_p,
+    inv_s_mid, zp_mid, mid_lo, mid_hi, mid_shift,
+    inv_s_out, zp_out, lo, hi, cw_p, out_jnp,
+):
+    n = pl.program_id(0)
+    i = pl.program_id(1)
+    in_rows = x_vmem.shape[0]
+    row0 = i * (th * stride)
+    dma = pltpu.make_async_copy(
+        x_hbm.at[n, pl.ds(row0, in_rows)], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    C = x_vmem.shape[2]
+    x = x_vmem[:].astype(jnp.int32) - zp_in
+    a32 = jnp.zeros((th, ow, C), jnp.int32)
+    for ky in range(3):
+        for kx in range(3):
+            xs = jax.lax.slice(
+                x,
+                (ky, kx, 0),
+                (ky + (th - 1) * stride + 1, kx + (ow - 1) * stride + 1, C),
+                (stride, stride, 1),
+            )
+            a32 = a32 + xs * wd_ref[3 * ky + kx][None, None, :]
+    qd = a32.astype(jnp.float32) * md_ref[0][None, None, :] + bd_ref[0][None, None, :]
+    qd = _requant(qd, zp_mid, act_d, inv_s_mid, mid_lo, mid_hi)
+    mid_scratch[:] = (qd.astype(jnp.int32) - mid_shift).astype(jnp.int8).reshape(th * ow, C)
+
+    accp = jax.lax.dot_general(
+        mid_scratch[:], wp_ref[:], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    ).astype(jnp.float32)
+    if cw_p != 0:
+        rowsum = jnp.sum(mid_scratch[:].astype(jnp.int32), axis=1, keepdims=True).astype(
+            jnp.float32
+        )
+        accp = accp + cw_p * rowsum
+    qp = accp * mp_ref[0][None, :] + bp_ref[0][None, :]
+    qp = _requant(qp, zp_out, act_p, inv_s_out, lo, hi)
+    o_ref[0] = qp.astype(jnp.int32).astype(out_jnp).reshape(th, ow, -1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "zp_in", "stride", "act_d", "act_p", "inv_s_mid", "zp_mid", "mid_lo",
+        "mid_hi", "mid_shift", "inv_s_out", "zp_out", "lo", "hi", "cw_p",
+        "out_dtype", "th",
+    ),
+)
+def fused_dwpw_requant(
+    x,          # [N, H, W, C] uint8/int8 activations (raw)
+    wd,         # [9, C] int32-shifted dw taps
+    md,         # [C] fp32: s_in*s_wd/s_mid
+    bd,         # [C] fp32: bias_d*md + zp_mid (+ dw zp corrections)
+    wp,         # [C, C2] int8 shifted pw weights
+    mp,         # [C2] fp32: s_mid*s_wp/s_out
+    bp,         # [C2] fp32: (pw zp-corrections + bias_p)*mp + zp_out
+    zp_in: int = 0,
+    stride: int = 1,
+    act_d: int = -1,
+    act_p: int = -1,
+    inv_s_mid: float = 1.0,
+    zp_mid: int = 0,
+    mid_lo: int = 0,
+    mid_hi: int = 255,
+    mid_shift: int = 128,
+    inv_s_out: float = 1.0,
+    zp_out: int = 0,
+    lo: int = 0,
+    hi: int = 255,
+    cw_p: int = 0,
+    out_dtype: str = "uint8",
+    th: int = 8,
+):
+    N, H, W, C = x.shape
+    C2 = wp.shape[1]
+    OH = (H + 2 - 3) // stride + 1
+    OW = (W + 2 - 3) // stride + 1
+    out_jnp = jnp.uint8 if out_dtype == "uint8" else jnp.int8
+
+    # pad with zp_in so padding vanishes after the in-kernel shift
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=zp_in)
+
+    th = min(th, OH)
+    while OH % th:
+        th -= 1
+    in_rows = (th - 1) * stride + 3
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel,
+            stride=stride, th=th, ow=OW, zp_in=zp_in, act_d=act_d, act_p=act_p,
+            inv_s_mid=inv_s_mid, zp_mid=zp_mid, mid_lo=mid_lo, mid_hi=mid_hi,
+            mid_shift=mid_shift, inv_s_out=inv_s_out, zp_out=zp_out, lo=lo,
+            hi=hi, cw_p=cw_p, out_jnp=out_jnp,
+        ),
+        grid=(N, OH // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # manual halo DMA
+            pl.BlockSpec((9, C), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C2), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, OW, C2), lambda n, i: (n, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, OH, OW, C2), out_jnp),
+        scratch_shapes=[
+            pltpu.VMEM((in_rows, W + 2, C), x.dtype),
+            pltpu.VMEM((th * OW, C), jnp.int8),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=jax.default_backend() == "cpu",
+    )(xp, wd, md.reshape(1, -1), bd.reshape(1, -1), wp, mp.reshape(1, -1), bp.reshape(1, -1))
+    return out
