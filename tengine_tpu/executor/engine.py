@@ -30,6 +30,7 @@ from ..graph.ir import DType, Graph, Node, Tensor, TensorType
 from ..ops import lowering as _lowering  # noqa: F401 — populate registry
 from ..ops import lowering_extra as _lowering_extra  # noqa: F401
 from ..ops import detection as _detection  # noqa: F401
+from ..ops import fused as _fused  # noqa: F401
 from ..ops import qmath
 from ..ops import quantized as _quantized  # noqa: F401
 from ..ops.layout import TArr, as_semantic, nchw, semantic_shape
@@ -236,6 +237,15 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
     """prerun_graph_multithread analog: prepare, trace, jit-compile."""
     _enable_compilation_cache()
     options = options or Options.from_env()
+    if (
+        options.fuse_dwpw
+        and _graph_quantized(graph)
+        and options.quant_mode in ("auto", "fast")
+        and not options.force_ref_kernels
+    ):
+        from ..graph.passes import fuse_dwpw
+
+        fuse_dwpw(graph)
     store = ParamStore()
     forward, input_ids, output_ids = build_forward(graph, options, store)
 

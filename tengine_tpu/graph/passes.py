@@ -147,6 +147,111 @@ def dce(g: Graph) -> int:
     return removed
 
 
+def _is_dw3x3(g: Graph, n: Node) -> bool:
+    """Depthwise 3x3, pad 1 on all sides (or stride-1 SAME), stride 1 or 2,
+    no dilation — the envelope of the fused Pallas block kernel."""
+    if n.op != "Convolution" or len(n.inputs) < 2:
+        return False
+    p = n.params
+    wt = g.tensors[n.inputs[1]]
+    if len(wt.shape) != 4 or wt.shape[1] != 1:
+        return False
+    c = wt.shape[0]
+    pads = [p.get(k, 0) for k in ("pad_h0", "pad_h1", "pad_w0", "pad_w1")]
+    stride = p.get("stride_h", 1)
+    pads_ok = all(pd == 1 for pd in pads) or (
+        stride == 1 and all(pd < 0 for pd in pads)  # SAME at k=3,s=1 == (1,1)
+    )
+    return (
+        p.get("kernel_h") == 3
+        and p.get("kernel_w") == 3
+        and p.get("dilation_h", 1) == 1
+        and p.get("dilation_w", 1) == 1
+        and pads_ok
+        and stride in (1, 2)
+        and p.get("stride_w", 1) == stride
+        and p.get("group", 1) == c
+    )
+
+
+def _is_pw1x1(g: Graph, n: Node) -> bool:
+    if n.op != "Convolution" or len(n.inputs) < 2:
+        return False
+    p = n.params
+    return (
+        p.get("kernel_h") == 1
+        and p.get("kernel_w") == 1
+        and p.get("group", 1) == 1
+        and p.get("stride_h", 1) == 1
+        and p.get("stride_w", 1) == 1
+        and all(p.get(k, 0) == 0 for k in ("pad_h0", "pad_h1", "pad_w0", "pad_w1"))
+    )
+
+
+def _act_quant_ok(t) -> bool:
+    return (
+        t.quant is not None
+        and not t.quant.per_channel
+        and t.dtype.name in ("UINT8", "INT8")
+    )
+
+
+def fuse_dwpw(g: Graph) -> int:
+    """Fuse quantized depthwise-3x3 -> pointwise-1x1 pairs (the
+    mobilenet-family block) into one `FusedDwPwConv` node, lowered to a
+    single Pallas kernel that keeps the depthwise intermediate in VMEM
+    (ops/pallas/fused_dwpw.py). The reference fuses at a different
+    granularity (conv+relu, graph_opt.cpp) — on TPU the win is HBM traffic,
+    so the fusion boundary is the whole block. Returns number of fusions."""
+    fused = 0
+    for dw in list(g.nodes):
+        if not _is_dw3x3(g, dw):
+            continue
+        pw = _single_consumer(g, dw)
+        if pw is None or not _is_pw1x1(g, pw) or pw.inputs[0] != dw.outputs[0]:
+            continue
+        if dw.idx in g.outputs:
+            continue
+        mid = g.tensors[dw.outputs[0]]
+        t_x = g.tensors[dw.inputs[0]]
+        t_out = g.tensors[pw.outputs[0]]
+        # quantized activations per-tensor, same scheme end-to-end
+        if not (_act_quant_ok(t_x) and _act_quant_ok(mid) and _act_quant_ok(t_out)):
+            continue
+        if not (t_x.dtype == mid.dtype == t_out.dtype):
+            continue
+        if g.tensors[dw.inputs[1]].quant is None or g.tensors[pw.inputs[1]].quant is None:
+            continue
+
+        inputs = list(dw.inputs)  # x, wd[, bd]
+        wp_pos = len(inputs)
+        inputs += pw.inputs[1:]  # wp[, bp]
+        params = dict(
+            stride=dw.params.get("stride_h", 1),
+            act_d=dw.params.get("activation", -1),
+            act_p=pw.params.get("activation", -1),
+            mid_tid=mid.idx,
+            wp_pos=wp_pos,
+            bd_pos=2 if len(dw.inputs) > 2 else -1,
+            bp_pos=wp_pos + 1 if len(pw.inputs) > 2 else -1,
+        )
+        out_tid = pw.outputs[0]
+        for tid in set(dw.inputs + pw.inputs):
+            g.tensors[tid].consumers = [
+                c for c in g.tensors[tid].consumers if c not in (dw.idx, pw.idx)
+            ]
+        node = g.add_node("FusedDwPwConv", f"{dw.name}+{pw.name}", inputs, [out_tid], params)
+        mid.consumers = []
+        if pw.idx in g.outputs:
+            g.outputs = [node.idx if o == pw.idx else o for o in g.outputs]
+        for shell in (dw, pw):
+            shell.op = "Noop"
+            shell.inputs = []
+            shell.outputs = []
+        fused += 1
+    return fused
+
+
 def optimize(g: Graph) -> Graph:
     """Standard pass pipeline (converter-parity): bn fold, activation fuse,
     dce."""

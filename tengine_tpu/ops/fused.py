@@ -1,0 +1,255 @@
+"""Lowerings for the FusedDwPwConv node (graph/passes.py:fuse_dwpw).
+
+Three tiers, like every conv op (registry scoring, cpu_module.c:135-170
+analog in the reference):
+
+  * SCORE_BEST  — single fused Pallas kernel (ops/pallas/fused_dwpw.py):
+    depthwise int32 accumulate + requant + pointwise int8 MXU dot + requant,
+    with the depthwise intermediate never leaving VMEM. Numerically within
+    1 LSB of the unfused fast path (same fp32-multiplier requant).
+  * SCORE_CANDO — reference semantics: dequant -> fp32 dw conv -> requant to
+    the recorded mid tensor -> dequant -> fp32 pw conv -> requant
+    (conv_kernel_ref_uint8.c:67-177 applied twice), bit-identical to running
+    the two original nodes under quant_mode="ref".
+  * SCORE_REF   — plain float path for quant_mode="float" / forced-ref runs,
+    mirroring lowering.py:lower_conv applied twice.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..graph.ir import DType
+from . import qmath
+from .layout import TArr, as_nhwc, nhwc
+from .lowering import apply_activation, compute_dtype
+from .registry import SCORE_BEST, SCORE_CANDO, SCORE_REF, LowerCtx, register_op
+
+
+def _fast_ok(ctx: LowerCtx) -> bool:
+    return (
+        qmath.node_is_quant(ctx)
+        and ctx.options.quant_mode in ("auto", "fast")
+        and not ctx.options.force_ref_kernels
+    )
+
+
+def _scalar_q(q):
+    return float(np.asarray(q.scales).reshape(-1)[0]), int(
+        np.asarray(q.zero_points).reshape(-1)[0]
+    )
+
+
+def _wscales(quant, out_c: int) -> np.ndarray:
+    s = np.asarray(quant.scales, np.float32).reshape(-1)
+    if s.size == 1:
+        s = np.full((out_c,), s[0], np.float32)
+    return s
+
+
+@register_op("FusedDwPwConv", score=SCORE_BEST, predicate=_fast_ok, quant=True)
+def lower_fused_dwpw_fast(ctx: LowerCtx, x: TArr, *rest):
+    """dw3x3+pw1x1 block as one Pallas kernel; params folded on the host."""
+    from .pallas.fused_dwpw import fused_dwpw_requant
+
+    p = ctx.params
+    t_in = ctx.in_tensor(0)
+    t_wd = ctx.in_tensor(1)
+    t_wp = ctx.in_tensor(p["wp_pos"])
+    t_mid = ctx.graph.tensors[p["mid_tid"]]
+    t_out = ctx.out_tensor(0)
+
+    C = t_wd.shape[0]
+    C2 = t_wp.shape[0]
+    is_u8 = t_in.dtype == DType.UINT8
+
+    s_in, zp_in = _scalar_q(t_in.quant)
+    s_mid, zp_mid = _scalar_q(t_mid.quant)
+    s_out, zp_out = _scalar_q(t_out.quant)
+    wd_scales = _wscales(t_wd.quant, C)
+    wp_scales = _wscales(t_wp.quant, C2)
+    zp_wd = 0 if t_wd.quant.per_channel else _scalar_q(t_wd.quant)[1]
+    zp_wp = 0 if t_wp.quant.per_channel else _scalar_q(t_wp.quant)[1]
+
+    # depthwise taps, zero-point-shifted, laid out [9, C]
+    def wd_taps():
+        w = ctx.const_data(1).reshape(C, 9).astype(np.int32) - zp_wd
+        return np.ascontiguousarray(w.T)
+
+    wd = ctx.get_param("fdw_wd", wd_taps)
+    md = ctx.get_param("fdw_md", lambda: (s_in * wd_scales / s_mid).astype(np.float32))
+
+    def bd_fold():
+        b = (
+            ctx.const_data(p["bd_pos"]).astype(np.float64)
+            if p["bd_pos"] >= 0
+            else np.zeros(C)
+        )
+        return (b * (s_in * wd_scales / s_mid).astype(np.float64) + zp_mid).astype(
+            np.float32
+        )
+
+    bd = ctx.get_param("fdw_bd", bd_fold)
+
+    # pointwise: re-centered int8 weights [C, C2] + zero-point corrections
+    if is_u8:
+        cx_p, cw_p, mid_shift = 128 - zp_mid, 128 - zp_wp, 128
+    else:
+        cx_p = cw_p = mid_shift = 0
+
+    def wp_kn():
+        w = ctx.const_data(p["wp_pos"]).reshape(C2, C)
+        if is_u8:
+            w = (w.astype(np.int16) - 128).astype(np.int8)
+        return np.ascontiguousarray(w.T.astype(np.int8))
+
+    wp = ctx.get_param("fdw_wp", wp_kn)
+    mp = ctx.get_param("fdw_mp", lambda: (s_mid * wp_scales / s_out).astype(np.float32))
+
+    def bp_fold():
+        w = ctx.const_data(p["wp_pos"]).reshape(C2, C)
+        if is_u8:
+            wsh = w.astype(np.int32) - 128
+            b0 = cx_p * wsh.sum(axis=1).astype(np.int64) + C * cx_p * cw_p
+        else:
+            b0 = np.zeros(C2, np.int64)
+        if p["bp_pos"] >= 0:
+            b0 = b0 + ctx.const_data(p["bp_pos"]).astype(np.int64)
+        m = (s_mid * wp_scales / s_out).astype(np.float64)
+        return (b0.astype(np.float64) * m + zp_out).astype(np.float32)
+
+    bp = ctx.get_param("fdw_bp", bp_fold)
+
+    mid_lo, mid_hi = qmath.QRANGE[t_mid.dtype]
+    lo, hi = qmath.QRANGE[t_out.dtype]
+    out = fused_dwpw_requant(
+        as_nhwc(x),
+        wd,
+        md,
+        bd,
+        wp,
+        mp,
+        bp,
+        zp_in=zp_in,
+        stride=p["stride"],
+        act_d=p.get("act_d", -1),
+        act_p=p.get("act_p", -1),
+        inv_s_mid=1.0 / s_mid,
+        zp_mid=zp_mid,
+        mid_lo=mid_lo,
+        mid_hi=mid_hi,
+        mid_shift=mid_shift,
+        inv_s_out=1.0 / s_out,
+        zp_out=zp_out,
+        lo=lo,
+        hi=hi,
+        cw_p=cw_p,
+        out_dtype="uint8" if t_out.dtype == DType.UINT8 else "int8",
+    )
+    return nhwc(out)
+
+
+def _dw_pads(stride: int):
+    return ((1, 1), (1, 1))
+
+
+@register_op("FusedDwPwConv", score=SCORE_CANDO, predicate=qmath.node_is_quant, quant=True)
+def lower_fused_dwpw_ref(ctx: LowerCtx, x: TArr, *rest):
+    """Bit-faithful to the two original nodes under quant_mode='ref'."""
+    p = ctx.params
+    t_in = ctx.in_tensor(0)
+    t_wd = ctx.in_tensor(1)
+    t_wp = ctx.in_tensor(p["wp_pos"])
+    t_mid = ctx.graph.tensors[p["mid_tid"]]
+    t_out = ctx.out_tensor(0)
+    C = t_wd.shape[0]
+    C2 = t_wp.shape[0]
+    s_in, _ = _scalar_q(t_in.quant)
+    s_mid, _ = _scalar_q(t_mid.quant)
+    wd_scales = _wscales(t_wd.quant, C)
+    wp_scales = _wscales(t_wp.quant, C2)
+
+    xn = qmath.dequantize(as_nhwc(x), t_in.quant)
+    wd = ctx.weight(
+        1,
+        lambda a: qmath.dequantize_np(a, t_wd.quant, channel_axis=0).transpose(2, 3, 1, 0),
+        tag="fdw_hwio_deq",
+    )
+    mid = lax.conv_general_dilated(
+        xn,
+        wd,
+        window_strides=(p["stride"], p["stride"]),
+        padding=_dw_pads(p["stride"]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if p["bd_pos"] >= 0:
+        mid = mid + ctx.get_param(
+            "fdw_bd_deq",
+            lambda: ctx.const_data(p["bd_pos"]).astype(np.float32) * s_in * wd_scales,
+        )
+    mid = apply_activation(mid, p.get("act_d", -1))
+    mid_q = qmath.requantize(mid, t_mid.quant, t_mid.dtype)
+
+    midf = qmath.dequantize(mid_q, t_mid.quant)
+    wp = ctx.weight(
+        p["wp_pos"],
+        lambda a: qmath.dequantize_np(a, t_wp.quant, channel_axis=0).transpose(2, 3, 1, 0),
+        tag="fdw_pw_hwio_deq",
+    )
+    out = lax.conv_general_dilated(
+        midf,
+        wp,
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    if p["bp_pos"] >= 0:
+        out = out + ctx.get_param(
+            "fdw_bp_deq",
+            lambda: ctx.const_data(p["bp_pos"]).astype(np.float32) * s_mid * wp_scales,
+        )
+    out = apply_activation(out, p.get("act_p", -1))
+    return nhwc(qmath.requantize(out, t_out.quant, t_out.dtype))
+
+
+@register_op("FusedDwPwConv", score=SCORE_REF)
+def lower_fused_dwpw_float(ctx: LowerCtx, x: TArr, *rest):
+    """Float path (quant_mode='float' / generic-wrapper): two fp32 convs,
+    mirroring lowering.py:lower_conv."""
+    p = ctx.params
+    C = ctx.in_tensor(1).shape[0]
+    dt = compute_dtype(ctx)
+    xn = as_nhwc(x)
+    wd = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="fdw_hwio")
+    mid = lax.conv_general_dilated(
+        xn.astype(dt),
+        wd.astype(dt),
+        window_strides=(p["stride"], p["stride"]),
+        padding=_dw_pads(p["stride"]),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        preferred_element_type=jnp.float32,
+    )
+    if p["bd_pos"] >= 0:
+        mid = mid + ctx.weight(p["bd_pos"], tag="fdw_bd_raw").astype(jnp.float32)
+    mid = apply_activation(mid, p.get("act_d", -1))
+    wp = ctx.weight(p["wp_pos"], lambda a: np.transpose(a, (2, 3, 1, 0)), tag="fdw_pw_hwio")
+    out = lax.conv_general_dilated(
+        mid.astype(dt),
+        wp.astype(dt),
+        window_strides=(1, 1),
+        padding=((0, 0), (0, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+    )
+    if p["bp_pos"] >= 0:
+        out = out + ctx.weight(p["bp_pos"], tag="fdw_bp_raw").astype(jnp.float32)
+    out = apply_activation(out, p.get("act_p", -1))
+    return nhwc(out.astype(dt) if dt != jnp.float32 else out)

@@ -56,6 +56,15 @@ class Options:
     # saves inside full conv nets — hence opt-in until the fused block
     # kernels land.
     pallas_qgemm: bool = False
+    # Fuse quantized dw3x3+pw1x1 pairs into the single Pallas block kernel
+    # (ops/pallas/fused_dwpw.py) that keeps the depthwise intermediate in
+    # VMEM. Opt-in: measured on v5e (mobilenet-v1 uint8, batch 128) the
+    # XLA pipeline wins (4.2 ms vs 18.2 ms) — the kernel's per-step manual
+    # DMA isn't double-buffered and its per-(batch, row-tile) grid pays
+    # ~1-2 us/step over 1792 steps, which swamps the saved mid-tensor HBM
+    # round trip. Kept as the correctness-proven base (<=1 LSB vs unfused)
+    # for a future batch-tiled, pipelined revision.
+    fuse_dwpw: bool = False
 
     @classmethod
     def from_env(cls, **overrides) -> "Options":

@@ -137,3 +137,83 @@ def test_fused_matches_unfused(stride, scheme, rng):
 
     diff = np.abs(out.astype(np.int32) - expected.astype(np.int32))
     assert diff.max() <= 1, f"max LSB diff {diff.max()} ({(diff>0).mean():.3f} frac)"
+
+
+def make_two_block_graph(C=8, C2=16, hw=8, rng=None):
+    """input -> [dw3x3 s1 -> pw] -> [dw3x3 s2 -> pw] chain."""
+    rng = rng or np.random.default_rng(1)
+    g = Graph(name="dwpw2")
+    x = g.add_tensor("x", DType.FP32, [1, C, hw, hw], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    cur, cin = x, C
+    for bi, (cout, stride) in enumerate([(C2, 1), (C2, 2)]):
+        wd = rng.standard_normal((cin, 1, 3, 3)).astype(np.float32) * 0.3
+        bd = rng.standard_normal((cin,)).astype(np.float32) * 0.1
+        wp = rng.standard_normal((cout, cin, 1, 1)).astype(np.float32) * 0.3
+        bp = rng.standard_normal((cout,)).astype(np.float32) * 0.1
+        wd_t = g.add_tensor(f"wd{bi}", DType.FP32, list(wd.shape), TensorType.CONST, data=wd)
+        bd_t = g.add_tensor(f"bd{bi}", DType.FP32, [cin], TensorType.CONST, data=bd)
+        wp_t = g.add_tensor(f"wp{bi}", DType.FP32, list(wp.shape), TensorType.CONST, data=wp)
+        bp_t = g.add_tensor(f"bp{bi}", DType.FP32, [cout], TensorType.CONST, data=bp)
+        mid = g.add_tensor(f"mid{bi}", DType.FP32, [], TensorType.VAR)
+        out = g.add_tensor(f"out{bi}", DType.FP32, [], TensorType.VAR)
+        g.add_node(
+            "Convolution", f"dw{bi}", [cur.idx, wd_t.idx, bd_t.idx], [mid.idx],
+            params=dict(kernel_h=3, kernel_w=3, stride_h=stride, stride_w=stride,
+                        dilation_h=1, dilation_w=1, input_channel=cin, output_channel=cin,
+                        group=cin, activation=0, pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1),
+        )
+        g.add_node(
+            "Convolution", f"pw{bi}", [mid.idx, wp_t.idx, bp_t.idx], [out.idx],
+            params=dict(kernel_h=1, kernel_w=1, stride_h=1, stride_w=1,
+                        dilation_h=1, dilation_w=1, input_channel=cin, output_channel=cout,
+                        group=1, activation=0, pad_h0=0, pad_w0=0, pad_h1=0, pad_w1=0),
+        )
+        cur, cin = out, cout
+    g.inputs = [inp.idx]
+    g.outputs = [g.nodes[-1].idx]
+    return g
+
+
+@pytest.mark.parametrize("scheme", ["uint8", "int8"])
+def test_fuse_pass_end_to_end(scheme, rng):
+    """compile_graph(fuse_dwpw=True) rewrites both blocks and matches the
+    unfused fast path within 1 LSB; ref mode on the fused graph is exact."""
+    from tengine_tpu.graph.passes import fuse_dwpw
+
+    g = make_two_block_graph(rng=rng)
+    calib = [rng.standard_normal((1, 8, 8, 8)).astype(np.float32) for _ in range(3)]
+    qg = quantize_graph(g, calib, scheme=scheme)
+
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+
+    (unfused,) = compile_graph(qg, Options(quant_mode="fast", fuse_dwpw=False)).run(xq)
+    (ref_unfused,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
+
+    import copy
+
+    qg2 = copy.deepcopy(qg)
+    cg = compile_graph(qg2, Options(quant_mode="fast", fuse_dwpw=True))
+    assert sum(1 for n in qg2.nodes if n.op == "FusedDwPwConv") == 2
+    (fused,) = cg.run(xq)
+    diff = np.abs(fused.astype(np.int32) - unfused.astype(np.int32))
+    assert diff.max() <= 1, f"fused-vs-unfused max LSB diff {diff.max()}"
+
+    # ref mode on the already-fused graph reproduces the unfused ref path
+    (ref_fused,) = compile_graph(qg2, Options(quant_mode="ref")).run(xq)
+    np.testing.assert_array_equal(ref_fused, ref_unfused)
+
+
+def test_fuse_pass_skips_multi_consumer(rng):
+    """A dw whose mid tensor feeds two consumers must not be fused."""
+    from tengine_tpu.graph.passes import fuse_dwpw
+
+    g = make_block_graph(rng=rng)
+    # add a second consumer of the mid tensor
+    mid = g.find_tensor("mid")
+    extra = g.add_tensor("extra", DType.FP32, [], TensorType.VAR)
+    g.add_node("ReLu", "extra_relu", [mid.idx], [extra.idx], params=dict(negative_slope=0.0))
+    calib = [rng.standard_normal((1, 8, 8, 8)).astype(np.float32) for _ in range(2)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+    assert fuse_dwpw(qg) == 0
