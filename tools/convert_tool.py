@@ -6,11 +6,13 @@ Front-ends:
   * torch: a torchscript-able / fx-traceable nn.Module from a python file
     (the modern weight source; the reference's 7 legacy front-ends all
     predate it)
+  * onnx: .onnx file (self-contained protobuf decoder, convert/onnx_frontend)
   * tengine: tmfile -> tmfile (useful with --optimize to run the fusion
     passes on an existing model)
 
     python tools/convert_tool.py -f torch -m mymodel.py:build_model \\
         --input-shape 1,3,224,224 -o model.tmfile --optimize
+    python tools/convert_tool.py -f onnx -m model.onnx -o model.tmfile --optimize
     python tools/convert_tool.py -f tengine -m in.tmfile -o out.tmfile --optimize
 """
 
@@ -36,7 +38,8 @@ def load_torch_model(spec: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("-f", "--framework", default="torch", choices=["torch", "tengine"])
+    ap.add_argument("-f", "--framework", default="torch",
+                    choices=["torch", "onnx", "tengine"])
     ap.add_argument("-m", "--model", required=True,
                     help="torch: file.py:factory ; tengine: input tmfile")
     ap.add_argument("-o", "--output", required=True, help="output tmfile")
@@ -59,6 +62,11 @@ def main():
         example = torch.zeros(*shape)
         g = from_torch(model, example)
         print(f"traced {type(model).__name__}: {len(g.nodes)} nodes")
+    elif args.framework == "onnx":
+        from tengine_tpu.convert.onnx_frontend import from_onnx
+
+        g = from_onnx(args.model, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
     else:
         g = tt.load_model(args.model)
         for tid in g.input_tensors:
