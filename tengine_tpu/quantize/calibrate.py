@@ -27,6 +27,7 @@ class ActivationStats:
     # histogram of |x| for KL (2048 bins like the reference, quant_tool_int8.cpp:261)
     hist: Optional[np.ndarray] = None
     hist_max: float = 0.0
+    count: int = 0  # total elements observed (for the ACIQ sigma estimate)
 
 
 def collect_activation_ranges(
@@ -72,6 +73,7 @@ def collect_activation_ranges(
             else:
                 s.min = min(s.min, mn)
                 s.max = max(s.max, mx)
+            s.count += a.size
             if with_histograms:
                 amax = max(abs(s.min), abs(s.max), 1e-9)
                 h, _ = np.histogram(np.abs(a), bins=bins, range=(0, amax))
@@ -157,6 +159,30 @@ def kl_int8(stats: ActivationStats, bins: int = 2048, target_bins: int = 128) ->
     amax = max(abs(stats.min), abs(stats.max), 1e-9)
     threshold = (best_t + 0.5) * amax / bins
     return QuantParam.per_tensor(threshold / 127.0, 0, width=8)
+
+
+# ACIQ (Banner et al., "Post training 4-bit quantization of convolutional
+# networks for rapid-deployment") optimal Gaussian clipping ratios alpha*/sigma
+# per bit-width — the table the reference's ACIQ mode uses
+# (tools/quantize/quant_tool_int8.cpp, -a 2 path).
+_ACIQ_GAUSS_ALPHA = {2: 1.71, 3: 2.15, 4: 2.55, 5: 2.93, 6: 3.28, 7: 3.61, 8: 3.92}
+
+
+def aciq_int8(stats: ActivationStats, width: int = 8) -> QuantParam:
+    """ACIQ analytical clipping: estimate sigma from the observed max of N
+    Gaussian samples (E[max] = sigma*sqrt(2 ln N)*c), clip at alpha*(b)*sigma,
+    symmetric int8 scale = alpha/127."""
+    amax = max(abs(stats.min), abs(stats.max))
+    if amax <= 0:
+        return minmax_int8(stats)
+    n = max(int(stats.count), 2)
+    # Gaussian-max correction constant (quant_tool ACIQ uses the same form)
+    gauss_c = 0.5 * 0.35 * (1.0 + (np.pi * np.log(4.0)) ** 0.5)
+    sigma = amax * 2.0 * gauss_c / np.sqrt(2.0 * np.log(n))
+    alpha = _ACIQ_GAUSS_ALPHA.get(width, 3.92) * sigma
+    alpha = min(alpha, amax)  # never clip wider than the observed range
+    qmax = (1 << (width - 1)) - 1
+    return QuantParam.per_tensor(alpha / qmax if alpha > 0 else 1e-4, 0, width=8)
 
 
 def weight_quant_int8_perchannel(w: np.ndarray) -> QuantParam:

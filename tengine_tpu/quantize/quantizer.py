@@ -20,6 +20,7 @@ from ..ops import qmath
 from ..utils.config import Options
 from .calibrate import (
     ActivationStats,
+    aciq_int8,
     collect_activation_ranges,
     kl_int8,
     minmax_int8,
@@ -47,10 +48,13 @@ def quantize_graph(
 
     scheme: "uint8" (asymmetric per-tensor, quant_tool_uint8 equivalent) or
             "int8" (symmetric, per-channel weights, quant_tool_int8).
-    algorithm: "minmax" | "kl" (activations; weights always minmax).
+    algorithm: "minmax" | "kl" | "aciq" (activations; weights always minmax;
+    int8 scheme only for kl/aciq, matching the reference's tool split).
     """
     if scheme not in ("uint8", "int8"):
         raise ValueError(f"unknown scheme {scheme!r}")
+    if algorithm not in ("minmax", "kl", "aciq"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     act_dtype = DType.UINT8 if scheme == "uint8" else DType.INT8
 
     stats = collect_activation_ranges(
@@ -60,7 +64,11 @@ def quantize_graph(
     def act_qparam(s: ActivationStats) -> QuantParam:
         if scheme == "uint8":
             return minmax_uint8(s)
-        return kl_int8(s) if algorithm == "kl" else minmax_int8(s)
+        if algorithm == "kl":
+            return kl_int8(s)
+        if algorithm == "aciq":
+            return aciq_int8(s)
+        return minmax_int8(s)
 
     q = copy.deepcopy(graph)
     q.name = f"{graph.name}.{scheme}"

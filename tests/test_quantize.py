@@ -115,7 +115,10 @@ def test_generic_fallback_requant(rng):
     assert np.abs(got - p).max() < 1.0 / 128
 
 
-@pytest.mark.parametrize("scheme,algo", [("uint8", "minmax"), ("int8", "minmax"), ("int8", "kl")])
+@pytest.mark.parametrize(
+    "scheme,algo",
+    [("uint8", "minmax"), ("int8", "minmax"), ("int8", "kl"), ("int8", "aciq")],
+)
 def test_quantize_mobilenet_imported(scheme, algo, rng):
     """Full-model PTQ on the imported mobilenet benchmark graph."""
     from tengine_tpu.models.zoo import load_benchmark_model

@@ -94,7 +94,8 @@ def main():
     ap.add_argument("-m", "--model", required=True, help="input fp32 tmfile")
     ap.add_argument("-o", "--output", required=True, help="output quantized tmfile")
     ap.add_argument("-t", "--type", default="uint8", choices=["uint8", "int8"])
-    ap.add_argument("-a", "--algorithm", default="minmax", choices=["minmax", "kl"])
+    ap.add_argument("-a", "--algorithm", default="minmax",
+                    choices=["minmax", "kl", "aciq"])
     ap.add_argument("-i", "--images", default=None, help="calibration image dir")
     ap.add_argument("-n", "--num-images", type=int, default=8)
     ap.add_argument("--input-shape", default=None, help="n,c,h,w if absent from model")
