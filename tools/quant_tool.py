@@ -102,6 +102,9 @@ def main():
     ap.add_argument("--mean", type=float, nargs=3, default=[104.0, 117.0, 123.0])
     ap.add_argument("--scale", type=float, nargs=3, default=[1.0, 1.0, 1.0])
     ap.add_argument("--evaluate", action="store_true", help="per-layer cosine report")
+    ap.add_argument("--dfq", action="store_true",
+                    help="cross-layer weight equalization before quantizing "
+                         "(quant_dfq.cpp analog)")
     args = ap.parse_args()
 
     import tengine_tpu as tt
@@ -119,6 +122,11 @@ def main():
     calib = load_calibration(args, shape)
     print(f"calibrating on {len(calib)} batches, scheme={args.type}, "
           f"algorithm={args.algorithm}")
+    if args.dfq:
+        from tengine_tpu.quantize.dfq import equalize_graph
+
+        n = equalize_graph(g)
+        print(f"dfq: equalized {n} conv pairs")
     qg = quantize_graph(g, calib, scheme=args.type, algorithm=args.algorithm)
     save_tmfile(qg, args.output)
     print(f"wrote {args.output}")
