@@ -243,8 +243,15 @@ def lower_pooling(ctx: LowerCtx, x: TArr):
 
     pad_cfg = [(0, 0), (ph0, ph1), (pw0, pw1), (0, 0)]
     if p["alg"] == tmfmt.POOL_MAX:
+        # init value must match the operand dtype exactly (int8 quantized
+        # max-pool runs through here via the quantized-domain shortcut)
+        init = (
+            -jnp.inf
+            if jnp.issubdtype(xn.dtype, jnp.floating)
+            else int(jnp.iinfo(xn.dtype).min)
+        )
         out = lax.reduce_window(
-            xn, -jnp.inf if jnp.issubdtype(xn.dtype, jnp.floating) else jnp.iinfo(xn.dtype).min,
+            xn, jnp.asarray(init, xn.dtype),
             lax.max, (1, kh, kw, 1), (1, sh, sw, 1), pad_cfg,
         )
         return nhwc(out[:, :out_h, :out_w, :])

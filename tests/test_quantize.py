@@ -145,3 +145,37 @@ def test_quantize_mobilenet_imported(scheme, algo, rng):
     assert corr > 0.95, corr
     if algo == "minmax":
         assert np.argmax(out) == np.argmax(ref)
+
+
+@pytest.mark.parametrize("scheme", ["uint8", "int8"])
+def test_quantized_maxpool_same_scale(scheme, rng):
+    """Max-pool via the quantized-domain shortcut (same in/out scale, e.g.
+    minmax calibration on a resnet stem) — regression: int8 reduce_window
+    needed a dtype-matched init value."""
+    g = Graph(name="convpool")
+    x = g.add_tensor("x", DType.FP32, [1, 3, 8, 8], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    w = (rng.standard_normal((4, 3, 3, 3)) * 0.3).astype(np.float32)
+    wt = g.add_tensor("w", DType.FP32, list(w.shape), TensorType.CONST, data=w)
+    mid = g.add_tensor("mid", DType.FP32, [], TensorType.VAR)
+    out = g.add_tensor("out", DType.FP32, [], TensorType.VAR)
+    g.add_node("Convolution", "c", [x.idx, wt.idx], [mid.idx],
+               params=dict(kernel_h=3, kernel_w=3, stride_h=1, stride_w=1,
+                           dilation_h=1, dilation_w=1, input_channel=3,
+                           output_channel=4, group=1, activation=0,
+                           pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1))
+    g.add_node("Pooling", "p", [mid.idx], [out.idx],
+               params=dict(alg=0, kernel_h=3, kernel_w=3, stride_h=2, stride_w=2,
+                           global_pool=0, caffe_flavor=0,
+                           pad_h0=1, pad_h1=1, pad_w0=1, pad_w1=1))
+    g.inputs, g.outputs = [inp.idx], [g.nodes[-1].idx]
+    calib = [rng.standard_normal((1, 3, 8, 8)).astype(np.float32) for _ in range(3)]
+    qg = quantize_graph(g, calib, scheme=scheme)
+    # force identical in/out quant on the pool so the shortcut path is taken
+    t_mid, t_out = qg.tensors[qg.nodes[1].outputs[0]], qg.tensors[qg.nodes[2].outputs[0]]
+    t_out.quant = t_mid.quant
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+    (y_fast,) = compile_graph(qg, Options(quant_mode="fast")).run(xq)
+    (y_ref,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
+    assert np.abs(y_fast.astype(np.int32) - y_ref.astype(np.int32)).max() <= 1
