@@ -196,9 +196,19 @@ def build_forward(graph: Graph, options: Options, store: ParamStore, return_all:
             for tid, o in zip(node.outputs, outs):
                 env[tid] = o
 
+        def finalize(tid):
+            arr = as_semantic(env[tid])
+            t = graph.tensors[tid]
+            # bf16-stored quantized activations (quant_bf16_storage) hold
+            # exact integers — cast back to the tensor's integer dtype at
+            # the graph boundary
+            if qmath.is_quantized_tensor(t) and arr.dtype == jnp.bfloat16:
+                arr = arr.astype(jnp.int32).astype(t.dtype.np)
+            return arr
+
         if return_all:
-            return {tid: as_semantic(v) for tid, v in env.items()}
-        return tuple(as_semantic(env[tid]) for tid in output_ids)
+            return {tid: finalize(tid) for tid in env}
+        return tuple(finalize(tid) for tid in output_ids)
 
     return forward, input_ids, output_ids
 

@@ -33,6 +33,7 @@ def _fast_ok(ctx: LowerCtx) -> bool:
         qmath.node_is_quant(ctx)
         and ctx.options.quant_mode in ("auto", "fast")
         and not ctx.options.force_ref_kernels
+        and not ctx.options.quant_bf16_storage  # kernel wants int operands
     )
 
 

@@ -83,7 +83,7 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     w_scales = _wscales(w_q, out_c)
     zp_w = int(np.asarray(w_q.zero_points).reshape(-1)[0]) if not w_q.per_channel else 0
 
-    if integer_lhs:
+    if integer_lhs and not jnp.issubdtype(xn.dtype, jnp.floating):
         # int8 symmetric: raw int8 into the MXU, exact int32 accumulation
         w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8")
         acc = lax.conv_general_dilated(
@@ -99,13 +99,18 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     else:
         # uint8 asymmetric: zero-point-shifted values are <=9-bit integers,
         # exactly representable in bf16; MXU multiplies exactly and
-        # accumulates fp32 — the reference's own accumulation class
+        # accumulates fp32 — the reference's own accumulation class.
+        # bf16-stored activations (quant_bf16_storage) enter here directly;
+        # the shift stays exact (|q - zp| <= 255 < 2^9).
         w = ctx.weight(
             1,
             lambda a: (a.astype(np.float32) - zp_w).astype(np.float32).transpose(2, 3, 1, 0),
             tag="hwio_zshift",
         )
-        xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
+        if zp_in == 0 and xn.dtype == jnp.bfloat16:
+            xs = xn  # already exact bf16 integers
+        else:
+            xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
         acc = lax.conv_general_dilated(
             xs,
             w.astype(jnp.bfloat16),
@@ -152,7 +157,8 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack):
             if act > 0:
                 q = jnp.minimum(q, float(act) / s_out)
     lo, hi = qmath.QRANGE[out_dtype]
-    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(out_dtype.np)
+    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else out_dtype.np
+    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
     return nhwc(out)
 
 
@@ -160,7 +166,11 @@ def _pallas_conv1x1_ok(ctx: LowerCtx) -> bool:
     """Pallas qgemm covers 1x1 convs (pointwise — the FLOPs majority of the
     mobilenet/resnet-family nets): group 1, no padding, any stride (handled
     by pre-subsampling)."""
-    if not _fast_enabled(ctx) or not ctx.options.pallas_qgemm:
+    if (
+        not _fast_enabled(ctx)
+        or not ctx.options.pallas_qgemm
+        or ctx.options.quant_bf16_storage  # qgemm kernel wants int operands
+    ):
         return False
     p = ctx.params
     t_w = ctx.in_tensor(1)
@@ -275,7 +285,11 @@ def lower_conv1x1_quant_pallas(ctx: LowerCtx, x: TArr, *rest: TArr):
 
 
 def _pallas_fc_ok(ctx: LowerCtx) -> bool:
-    return _fast_enabled(ctx) and ctx.options.pallas_qgemm
+    return (
+        _fast_enabled(ctx)
+        and ctx.options.pallas_qgemm
+        and not ctx.options.quant_bf16_storage
+    )
 
 
 @register_op("FullyConnected", score=SCORE_STATIC, predicate=_pallas_fc_ok, quant=True)
@@ -383,7 +397,11 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
     rank = xs.ndim
     xf = xs.reshape(m, -1)
 
-    if t_in.dtype == DType.INT8 and _native_int_ok():
+    if (
+        t_in.dtype == DType.INT8
+        and _native_int_ok()
+        and not jnp.issubdtype(xf.dtype, jnp.floating)
+    ):
         w = ctx.weight(1, lambda a: np.ascontiguousarray(a.T), tag="kt_i8")
         acc = lax.dot_general(
             xf, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
@@ -393,8 +411,12 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         w = ctx.weight(
             1, lambda a: (a.astype(np.float32) - zp_w).T.astype(np.float32), tag="kt_zshift"
         )
+        if zp_in == 0 and xf.dtype == jnp.bfloat16:
+            xs_f = xf
+        else:
+            xs_f = (xf.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
         acc = lax.dot_general(
-            (xf.astype(jnp.float32) - zp_in).astype(jnp.bfloat16),
+            xs_f,
             w.astype(jnp.bfloat16),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -411,7 +433,8 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         )
         q = q + B
     lo, hi = qmath.QRANGE[t_out.dtype]
-    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(t_out.dtype.np)
+    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else t_out.dtype.np
+    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
     if rank == 3:
         out = out.reshape(m, -1, 1)
     elif rank == 4:
@@ -480,4 +503,4 @@ def lower_maxpool_quant(ctx: LowerCtx, x: TArr):
 def lower_relu_quant(ctx: LowerCtx, x: TArr):
     """relu in the quantized domain: max(q, zp) (relu_ref uint8 path)."""
     zp = int(np.asarray(ctx.in_tensor(0).quant.zero_points).reshape(-1)[0])
-    return TArr(jnp.maximum(x.x, np.array(zp, x.x.dtype)), x.layout)
+    return TArr(jnp.maximum(x.x, jnp.asarray(zp, x.x.dtype)), x.layout)

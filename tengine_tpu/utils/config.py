@@ -56,6 +56,16 @@ class Options:
     # saves inside full conv nets — hence opt-in until the fused block
     # kernels land.
     pallas_qgemm: bool = False
+    # Store quantized activations as bf16 on the fast path. Every |q| <= 255
+    # is exactly representable in bf16 (8 mantissa bits), so values are
+    # bit-identical to int8/uint8 storage (verified on full nets), but convs
+    # consume them directly at the MXU's bf16 rate with no per-conv
+    # integer->bf16 cast pass (int8 symmetric: zero input-side elementwise
+    # work; uint8: one exact bf16 subtract). Costs 2x activation bytes, wins
+    # everywhere measured: mobilenet-v1 uint8 b128 30.3k -> 44.1k img/s,
+    # resnet50 int8 b64 7.7k -> 8.6k img/s (v5e). Default on; disable to use
+    # the integer-operand Pallas paths (pallas_qgemm / fuse_dwpw).
+    quant_bf16_storage: bool = True
     # Fuse quantized dw3x3+pw1x1 pairs into the single Pallas block kernel
     # (ops/pallas/fused_dwpw.py) that keeps the depthwise intermediate in
     # VMEM. Opt-in: measured on v5e (mobilenet-v1 uint8, batch 128) the

@@ -188,13 +188,14 @@ def test_fuse_pass_end_to_end(scheme, rng):
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
 
-    (unfused,) = compile_graph(qg, Options(quant_mode="fast", fuse_dwpw=False)).run(xq)
+    opts = dict(quant_mode="fast", quant_bf16_storage=False)  # exercise pallas
+    (unfused,) = compile_graph(qg, Options(fuse_dwpw=False, **opts)).run(xq)
     (ref_unfused,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
 
     import copy
 
     qg2 = copy.deepcopy(qg)
-    cg = compile_graph(qg2, Options(quant_mode="fast", fuse_dwpw=True))
+    cg = compile_graph(qg2, Options(fuse_dwpw=True, **opts))
     assert sum(1 for n in qg2.nodes if n.op == "FusedDwPwConv") == 2
     (fused,) = cg.run(xq)
     diff = np.abs(fused.astype(np.int32) - unfused.astype(np.int32))

@@ -64,7 +64,11 @@ def test_quantized_close_to_fp32(scheme, rng):
 def test_ref_vs_fast_quant_paths(scheme, act, pallas, rng):
     _, qg, calib = make_quant_conv_graph(scheme, rng, act=act)
     s_ref = compile_graph(qg, Options(quant_mode="ref"))
-    s_fast = compile_graph(qg, Options(quant_mode="fast", pallas_qgemm=pallas))
+    # bf16 storage off when testing the pallas kernel (it wants int operands)
+    s_fast = compile_graph(
+        qg,
+        Options(quant_mode="fast", pallas_qgemm=pallas, quant_bf16_storage=not pallas),
+    )
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[1], t_in.quant, t_in.dtype)
     (a,) = s_ref.run(xq)
@@ -179,3 +183,22 @@ def test_quantized_maxpool_same_scale(scheme, rng):
     (y_fast,) = compile_graph(qg, Options(quant_mode="fast")).run(xq)
     (y_ref,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
     assert np.abs(y_fast.astype(np.int32) - y_ref.astype(np.int32)).max() <= 1
+
+
+@pytest.mark.parametrize("scheme", ["uint8", "int8"])
+def test_bf16_storage_bit_identical(scheme, rng):
+    """quant_bf16_storage stores activations as exact bf16 integers — the
+    fast path must be bit-identical to int-storage fast on a full net."""
+    from tengine_tpu.models.zoo import load_benchmark_model
+
+    g = load_benchmark_model("mobilenetv1", fill_missing_weights="random")
+    for tid in g.input_tensors:
+        g.tensors[tid].shape = [1, 3, 64, 64]
+    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32) for _ in range(2)]
+    qg = quantize_graph(g, calib, scheme=scheme)
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+    (a,) = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=False)).run(xq)
+    (b,) = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=True)).run(xq)
+    assert b.dtype == a.dtype
+    np.testing.assert_array_equal(a, b)
