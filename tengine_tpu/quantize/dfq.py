@@ -67,6 +67,88 @@ def equalize_pair(g: Graph, conv1: Node, conv2: Node, eps: float = 1e-8) -> floa
     return float(np.abs(np.log(s)).max())
 
 
+def bias_correction(
+    fp32_graph: Graph,
+    quant_graph: Graph,
+    calibration_inputs,
+    options=None,
+) -> int:
+    """Empirical bias correction (DFQ paper §4.2 / the reference's
+    quant_eq.cpp bias-search intent): quantization shifts each conv's
+    expected per-channel output; measure E[y_fp32 - y_quant] per channel on
+    the calibration set and fold it into the quantized bias. First-order,
+    one pass over all weighted nodes. Returns #corrected nodes.
+    """
+    import jax
+
+    from ..executor.engine import ParamStore, build_forward
+    from ..ops import qmath
+    from ..utils.config import Options
+
+    opts_f = Options(quant_mode="float")
+    opts_q = options or Options(quant_mode="fast")
+
+    def run_all(graph, opts, batches):
+        store = ParamStore()
+        fwd, _, _ = build_forward(graph, opts, store, return_all=True)
+        abstract = [jax.ShapeDtypeStruct(b.shape, b.dtype) for b in batches[0]]
+        store.phase = "prepare"
+        jax.eval_shape(fwd, {}, *abstract)
+        params = {k: jax.numpy.asarray(v) for k, v in store.values.items()}
+        store.phase = "trace"
+        jitted = jax.jit(fwd)
+        outs = [jitted(params, *b) for b in batches]
+        return outs
+
+    batches_f = []
+    for b in calibration_inputs:
+        b = b if isinstance(b, (tuple, list)) else (b,)
+        batches_f.append(tuple(np.asarray(a, np.float32) for a in b))
+    t_in = quant_graph.tensors[quant_graph.input_tensors[0]]
+    batches_q = [
+        tuple(qmath.quantize_np(a, t_in.quant, t_in.dtype) for a in b)
+        for b in batches_f
+    ]
+
+    envs_f = run_all(fp32_graph, opts_f, batches_f)
+    envs_q = run_all(quant_graph, opts_q, batches_q)
+
+    corrected = 0
+    for n_f, n_q in zip(fp32_graph.nodes, quant_graph.nodes):
+        if n_q.op not in ("Convolution", "Deconvolution") or len(n_q.inputs) < 3:
+            continue
+        tid = n_q.outputs[0]
+        t_out = quant_graph.tensors[tid]
+        if t_out.quant is None:
+            continue
+        # relu keeps the correction first-order valid for mostly-active
+        # channels (DFQ paper applies it pre-activation); skip clipped acts
+        if n_q.params.get("activation", -1) not in (-1, 0):
+            continue
+        diffs = []
+        for ef, eq in zip(envs_f, envs_q):
+            yf = np.asarray(ef[n_f.outputs[0]], np.float32)
+            yq = qmath.dequantize_np(np.asarray(eq[tid]), t_out.quant)
+            d = yf - yq
+            diffs.append(d.mean(axis=(0, 2, 3)) if d.ndim == 4 else d.mean(axis=0))
+        delta = np.mean(diffs, axis=0)
+
+        t_b = quant_graph.tensors[n_q.inputs[2]]
+        t_w = quant_graph.tensors[n_q.inputs[1]]
+        t_x = quant_graph.tensors[n_q.inputs[0]]
+        s_in = float(np.asarray(t_x.quant.scales).reshape(-1)[0])
+        w_s = np.asarray(t_w.quant.scales, np.float32).reshape(-1)
+        if w_s.size == 1:
+            w_s = np.full(delta.shape, w_s[0], np.float32)
+        # quantized bias lives in scale s_in * s_w[c]
+        t_b.data = (
+            t_b.data.astype(np.int64)
+            + np.round(delta / (s_in * w_s)).astype(np.int64)
+        ).astype(t_b.data.dtype)
+        corrected += 1
+    return corrected
+
+
 def equalize_graph(g: Graph, iterations: int = 3, tol: float = 1e-3) -> int:
     """Sweep all eligible pairs `iterations` times (chains re-balance each
     sweep, like the reference's iterative dfq loop). Returns pair count."""

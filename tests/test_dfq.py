@@ -80,3 +80,28 @@ def test_dfq_preserves_fp32_and_improves_uint8(rng):
     cos_dfq = quant_cos(ge)
     assert cos_dfq > cos_plain, (cos_plain, cos_dfq)
     assert cos_dfq > 0.99
+
+
+def test_bias_correction_improves_quant(rng):
+    """Empirical bias correction moves the quantized output toward fp32."""
+    from tengine_tpu.quantize.dfq import bias_correction
+
+    g = skewed_net(rng)
+    x = rng.standard_normal((1, 4, 8, 8)).astype(np.float32)
+    calib = [x] + [rng.standard_normal((1, 4, 8, 8)).astype(np.float32) for _ in range(3)]
+    (y_ref,) = compile_graph(copy.deepcopy(g), Options()).run(x)
+
+    qg = quantize_graph(copy.deepcopy(g), calib, scheme="uint8")
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(x, t_in.quant, t_in.dtype)
+    t_out = qg.tensors[qg.output_tensors[0]]
+
+    def err(graph):
+        (yq,) = compile_graph(graph, Options(quant_mode="fast")).run(xq)
+        return np.abs(qmath.dequantize_np(yq, t_out.quant) - y_ref).mean()
+
+    e_before = err(copy.deepcopy(qg))
+    n = bias_correction(g, qg, calib)
+    assert n >= 2
+    e_after = err(qg)
+    assert e_after <= e_before * 1.05, (e_before, e_after)

@@ -105,6 +105,9 @@ def main():
     ap.add_argument("--dfq", action="store_true",
                     help="cross-layer weight equalization before quantizing "
                          "(quant_dfq.cpp analog)")
+    ap.add_argument("--bias-correction", action="store_true",
+                    help="empirical per-channel bias correction after "
+                         "quantizing (quant_eq.cpp analog)")
     args = ap.parse_args()
 
     import tengine_tpu as tt
@@ -128,6 +131,11 @@ def main():
         n = equalize_graph(g)
         print(f"dfq: equalized {n} conv pairs")
     qg = quantize_graph(g, calib, scheme=args.type, algorithm=args.algorithm)
+    if args.bias_correction:
+        from tengine_tpu.quantize.dfq import bias_correction
+
+        n = bias_correction(g, qg, calib)
+        print(f"bias-correction: adjusted {n} nodes")
     save_tmfile(qg, args.output)
     print(f"wrote {args.output}")
 
