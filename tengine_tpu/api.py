@@ -48,6 +48,30 @@ def register_custom_op(
     register_op(op_name, score=score, predicate=predicate, quant=quant)(lower_fn)
 
 
+_LOADED_PLUGINS = {}
+
+
+def load_tengine_plugin(plugin_name: str, fname: str, init_func_name: str = "init"):
+    """Load an out-of-tree extension module — load_tengine_plugin analog
+    (api/plugin.c:25-120). The reference dlopens a .so and calls its init;
+    here the plugin is a Python file whose init() registers ops/serializers
+    via register_custom_op et al. Idempotent per plugin_name; returns 0 on
+    success like the C API."""
+    import importlib.util
+
+    if plugin_name in _LOADED_PLUGINS:
+        return 0
+    spec = importlib.util.spec_from_file_location(f"tt_plugin_{plugin_name}", fname)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    init = getattr(mod, init_func_name, None)
+    if init is None:
+        raise AttributeError(f"plugin {fname!r} has no {init_func_name}()")
+    init()
+    _LOADED_PLUGINS[plugin_name] = mod
+    return 0
+
+
 class Tensor:
     """Tensor handle bound to a Graph (pytengine Tensor parity)."""
 

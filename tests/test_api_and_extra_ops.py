@@ -141,3 +141,36 @@ def test_bias_embedding_l2pool(rng):
     (out,) = compile_graph(g).run(x := rng.standard_normal((1, 2, 4, 4)).astype(np.float32))
     ref = np.sqrt((x.reshape(1, 2, 2, 2, 2, 2) ** 2).mean(axis=(3, 5)))
     np.testing.assert_allclose(out, ref, rtol=1e-5)
+
+
+def test_load_tengine_plugin(tmp_path, rng):
+    """Plugin loading (api/plugin.c analog): a python file whose init()
+    registers a custom op lowering."""
+    from tengine_tpu.api import load_tengine_plugin
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.graph.ir import DType, Graph, TensorType
+    from tengine_tpu.utils.config import Options
+
+    plugin = tmp_path / "myplugin.py"
+    plugin.write_text(
+        "def init():\n"
+        "    from tengine_tpu.api import register_custom_op\n"
+        "    from tengine_tpu.ops.layout import like\n"
+        "    def lower_double(ctx, x):\n"
+        "        return like(x, x.x * 2.0)\n"
+        "    register_custom_op('MyDouble', lower_double)\n"
+    )
+    assert load_tengine_plugin("myplugin", str(plugin)) == 0
+    assert load_tengine_plugin("myplugin", str(plugin)) == 0  # idempotent
+
+    g = Graph(name="plug")
+    x = g.add_tensor("x", DType.FP32, [2, 3], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+    g.add_node("MyDouble", "dbl", [x.idx], [y.idx])
+    g.inputs, g.outputs = [inp.idx], [g.nodes[-1].idx]
+    import numpy as np
+
+    xv = rng.standard_normal((2, 3)).astype(np.float32)
+    (out,) = compile_graph(g, Options()).run(xv)
+    np.testing.assert_allclose(out, xv * 2.0, rtol=1e-6)
