@@ -7,6 +7,7 @@ Front-ends:
     (the modern weight source; the reference's 7 legacy front-ends all
     predate it)
   * onnx: .onnx file (self-contained protobuf decoder, convert/onnx_frontend)
+  * tf: frozen GraphDef .pb (convert/tf_frontend; NHWC -> NCHW normalization)
   * tengine: tmfile -> tmfile (useful with --optimize to run the fusion
     passes on an existing model)
 
@@ -39,7 +40,7 @@ def load_torch_model(spec: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--framework", default="torch",
-                    choices=["torch", "onnx", "tengine"])
+                    choices=["torch", "onnx", "tf", "tengine"])
     ap.add_argument("-m", "--model", required=True,
                     help="torch: file.py:factory ; tengine: input tmfile")
     ap.add_argument("-o", "--output", required=True, help="output tmfile")
@@ -66,6 +67,11 @@ def main():
         from tengine_tpu.convert.onnx_frontend import from_onnx
 
         g = from_onnx(args.model, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "tf":
+        from tengine_tpu.convert.tf_frontend import from_tf_graphdef
+
+        g = from_tf_graphdef(args.model, input_shape=shape)
         print(f"imported {args.model}: {len(g.nodes)} nodes")
     else:
         g = tt.load_model(args.model)
