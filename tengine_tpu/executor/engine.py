@@ -125,6 +125,19 @@ class CompiledGraph:
         outs = self._fn(self.params, *inputs)
         return [np.asarray(o) for o in outs]
 
+    def cost_analysis(self) -> Dict[str, float]:
+        """XLA's compiled cost model for the whole program: flops,
+        bytes accessed, optimal seconds, peak memory — the analog of the
+        reference's per-graph perf stats (GRAPH_PERF_STAT_*, c_api.h:95-101)
+        computed by the compiler instead of timers."""
+        in_spec = _input_spec(self.graph, self.options)
+        abstract = [jax.ShapeDtypeStruct(s, dt) for _, s, dt in in_spec]
+        compiled = self._fn.lower(self.params, *abstract).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return dict(ca) if ca else {}
+
 
 def _input_spec(graph: Graph, options: Options) -> List[Tuple[int, Tuple[int, ...], Any]]:
     spec = []
@@ -247,6 +260,8 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
     """prerun_graph_multithread analog: prepare, trace, jit-compile."""
     _enable_compilation_cache()
     options = options or Options.from_env()
+    if options.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if (
         options.fuse_dwpw
         and _graph_quantized(graph)

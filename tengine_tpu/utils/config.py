@@ -49,6 +49,10 @@ class Options:
     dump_dir: Optional[str] = None
     donate_input: bool = False
     batch_size: Optional[int] = None  # override model batch dim
+    # numeric sanitizer: raise on NaN/Inf produced anywhere in the jitted
+    # program (jax debug_nans — the TPU-side analog of the reference's
+    # TE_ENABLE_MEMORY_CHECK/sanitizer tier, SURVEY §5). Env: TT_DEBUG_NANS.
+    debug_nans: bool = False
     internal_layout: str = "NHWC"  # lowering layout for conv stacks: NHWC | NCHW
     # Use the Pallas int8 qgemm for large pointwise convs / FC. Bit-exact with
     # the XLA fast path; standalone it beats XLA at K>=256, but each
@@ -84,5 +88,6 @@ class Options:
             profile=_env_flag("TT_DEBUG_TIME"),
             dump_dir=os.environ.get("TT_DEBUG_DATA_DIR")
             or ("tt_dump" if _env_flag("TT_DEBUG_DATA") else None),
+            debug_nans=_env_flag("TT_DEBUG_NANS"),
         )
         return replace(base, **overrides)

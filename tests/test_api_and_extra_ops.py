@@ -174,3 +174,28 @@ def test_load_tengine_plugin(tmp_path, rng):
     xv = rng.standard_normal((2, 3)).astype(np.float32)
     (out,) = compile_graph(g, Options()).run(xv)
     np.testing.assert_allclose(out, xv * 2.0, rtol=1e-6)
+
+
+def test_cost_analysis(rng):
+    """CompiledGraph.cost_analysis surfaces XLA's compiled cost model
+    (GRAPH_PERF_STAT_* analog)."""
+    import numpy as np
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.graph.ir import DType, Graph, TensorType
+    from tengine_tpu.utils.config import Options
+
+    g = Graph(name="cost")
+    x = g.add_tensor("x", DType.FP32, [1, 3, 8, 8], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    w = (rng.standard_normal((4, 3, 3, 3)) * 0.3).astype(np.float32)
+    wt = g.add_tensor("w", DType.FP32, list(w.shape), TensorType.CONST, data=w)
+    y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+    g.add_node("Convolution", "c", [x.idx, wt.idx], [y.idx],
+               params=dict(kernel_h=3, kernel_w=3, stride_h=1, stride_w=1,
+                           dilation_h=1, dilation_w=1, input_channel=3,
+                           output_channel=4, group=1, activation=-1,
+                           pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1))
+    g.inputs, g.outputs = [inp.idx], [g.nodes[-1].idx]
+    cg = compile_graph(g, Options())
+    ca = cg.cost_analysis()
+    assert ca.get("flops", 0) > 0
