@@ -8,6 +8,7 @@ Front-ends:
     predate it)
   * onnx: .onnx file (self-contained protobuf decoder, convert/onnx_frontend)
   * tf: frozen GraphDef .pb (convert/tf_frontend; NHWC -> NCHW normalization)
+  * caffe: -m deploy.prototxt -w weights.caffemodel (convert/caffe_frontend)
   * tengine: tmfile -> tmfile (useful with --optimize to run the fusion
     passes on an existing model)
 
@@ -40,7 +41,9 @@ def load_torch_model(spec: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--framework", default="torch",
-                    choices=["torch", "onnx", "tf", "tengine"])
+                    choices=["torch", "onnx", "tf", "caffe", "tengine"])
+    ap.add_argument("-w", "--weights", default=None,
+                    help="caffe: the .caffemodel file")
     ap.add_argument("-m", "--model", required=True,
                     help="torch: file.py:factory ; tengine: input tmfile")
     ap.add_argument("-o", "--output", required=True, help="output tmfile")
@@ -72,6 +75,11 @@ def main():
         from tengine_tpu.convert.tf_frontend import from_tf_graphdef
 
         g = from_tf_graphdef(args.model, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "caffe":
+        from tengine_tpu.convert.caffe_frontend import from_caffe
+
+        g = from_caffe(args.model, args.weights, input_shape=shape)
         print(f"imported {args.model}: {len(g.nodes)} nodes")
     else:
         g = tt.load_model(args.model)
