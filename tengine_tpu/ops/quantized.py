@@ -83,7 +83,9 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     w_scales = _wscales(w_q, out_c)
     zp_w = int(np.asarray(w_q.zero_points).reshape(-1)[0]) if not w_q.per_channel else 0
 
-    if integer_lhs and not jnp.issubdtype(xn.dtype, jnp.floating):
+    # the integer path assumes symmetric activations (tmfile int8); nonzero
+    # activation zero-points (e.g. TFLite int8 imports) take the shift branch
+    if integer_lhs and zp_in == 0 and not jnp.issubdtype(xn.dtype, jnp.floating):
         # int8 symmetric: raw int8 into the MXU, exact int32 accumulation
         w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8")
         acc = lax.conv_general_dilated(
@@ -399,6 +401,7 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
 
     if (
         t_in.dtype == DType.INT8
+        and zp_in == 0
         and _native_int_ok()
         and not jnp.issubdtype(xf.dtype, jnp.floating)
     ):

@@ -9,6 +9,8 @@ Front-ends:
   * onnx: .onnx file (self-contained protobuf decoder, convert/onnx_frontend)
   * tf: frozen GraphDef .pb (convert/tf_frontend; NHWC -> NCHW normalization)
   * caffe: -m deploy.prototxt -w weights.caffemodel (convert/caffe_frontend)
+  * tflite: .tflite flatbuffer incl. full-integer quantized models — quant
+    params import onto the quantized engine (convert/tflite_frontend)
   * tengine: tmfile -> tmfile (useful with --optimize to run the fusion
     passes on an existing model)
 
@@ -41,7 +43,7 @@ def load_torch_model(spec: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--framework", default="torch",
-                    choices=["torch", "onnx", "tf", "caffe", "tengine"])
+                    choices=["torch", "onnx", "tf", "caffe", "tflite", "tengine"])
     ap.add_argument("-w", "--weights", default=None,
                     help="caffe: the .caffemodel file")
     ap.add_argument("-m", "--model", required=True,
@@ -80,6 +82,11 @@ def main():
         from tengine_tpu.convert.caffe_frontend import from_caffe
 
         g = from_caffe(args.model, args.weights, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "tflite":
+        from tengine_tpu.convert.tflite_frontend import from_tflite
+
+        g = from_tflite(args.model)
         print(f"imported {args.model}: {len(g.nodes)} nodes")
     else:
         g = tt.load_model(args.model)
