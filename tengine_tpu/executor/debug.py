@@ -182,6 +182,8 @@ def dump_graph_tensors(
         if t.tensor_type == TensorType.CONST:
             continue
         a = np.asarray(arr)
+        if a.dtype.name in ("bfloat16", "float16"):
+            a = a.astype(np.float32)  # bf16-stored quantized activations
         path = os.path.join(dump_dir, f"{_safe_name(t.name)}_{tid}.txt")
         with open(path, "w") as f:
             f.write(f"# {t.name} shape={list(a.shape)} dtype={a.dtype}\n")
