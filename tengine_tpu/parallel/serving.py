@@ -83,6 +83,8 @@ class InferenceServer:
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self.stats = {"batches": 0, "requests": 0, "padded": 0}
+        self._latencies: List[float] = []  # seconds, submit -> result set
+        self._lat_cap = 100_000
 
     def _get_compiled(self, batch: int) -> CompiledGraph:
         cg = self._compiled.get(batch)
@@ -164,5 +166,22 @@ class InferenceServer:
                 continue
             self.stats["batches"] += 1
             self.stats["requests"] += n
+            done = time.perf_counter()
             for i, r in enumerate(batch):
                 r.future.set_result([o[i : i + 1] for o in outs])
+                if len(self._latencies) < self._lat_cap:
+                    self._latencies.append(done - r.enqueued_at)
+
+    def latency_stats(self) -> dict:
+        """End-to-end request latency percentiles in ms (p50 is the
+        BASELINE.json serving metric)."""
+        if not self._latencies:
+            return {}
+        a = np.asarray(self._latencies) * 1e3
+        return {
+            "count": int(a.size),
+            "mean_ms": float(a.mean()),
+            "p50_ms": float(np.percentile(a, 50)),
+            "p90_ms": float(np.percentile(a, 90)),
+            "p99_ms": float(np.percentile(a, 99)),
+        }

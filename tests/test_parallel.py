@@ -97,3 +97,30 @@ def test_heartbeat_single_process():
     healthy, missing = hb.check_peers()
     hb.stop()
     assert healthy and missing == []
+
+
+def test_serving_latency_stats(rng):
+    """p50/p99 request-latency percentiles (BASELINE serving metric)."""
+    import numpy as np
+    from tengine_tpu.parallel.serving import InferenceServer
+
+    g = _small_graph(rng) if "_small_graph" in dir() else None
+    if g is None:
+        from tengine_tpu.graph.ir import DType, Graph, TensorType
+
+        g = Graph(name="lat")
+        x = g.add_tensor("x", DType.FP32, [1, 4], TensorType.INPUT)
+        inp = g.add_node("InputOp", "input", [], [x.idx])
+        y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+        g.add_node("ReLu", "r", [x.idx], [y.idx], params=dict(negative_slope=0.0))
+        g.inputs, g.outputs = [inp.idx], [g.nodes[-1].idx]
+
+    server = InferenceServer(g, max_batch=4, max_wait_ms=1.0)
+    server.start()
+    futs = [server.submit(rng.standard_normal((1, 4)).astype(np.float32)) for _ in range(12)]
+    for f in futs:
+        f.result(timeout=60)
+    server.stop()
+    st = server.latency_stats()
+    assert st["count"] == 12
+    assert 0 < st["p50_ms"] <= st["p99_ms"]
