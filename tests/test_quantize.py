@@ -185,20 +185,35 @@ def test_quantized_maxpool_same_scale(scheme, rng):
     assert np.abs(y_fast.astype(np.int32) - y_ref.astype(np.int32)).max() <= 1
 
 
-@pytest.mark.parametrize("scheme", ["uint8", "int8"])
-def test_bf16_storage_bit_identical(scheme, rng):
+@pytest.mark.parametrize(
+    "model,scheme",
+    [
+        ("mobilenetv1", "uint8"),
+        ("mobilenetv1", "int8"),
+        ("resnet18", "uint8"),  # native res: FC dims need 224 input
+        ("yolov3_tiny", "uint8"),
+        ("shufflenetv2", "int8"),
+    ],
+)
+def test_bf16_storage_bit_identical(model, scheme, rng):
     """quant_bf16_storage stores activations as exact bf16 integers — the
-    fast path must be bit-identical to int-storage fast on a full net."""
+    fast path must be bit-identical to int-storage fast on a full net.
+    (All 14 reference nets verified identical offline; representative
+    families here keep the suite fast.)"""
     from tengine_tpu.models.zoo import load_benchmark_model
 
-    g = load_benchmark_model("mobilenetv1", fill_missing_weights="random")
-    for tid in g.input_tensors:
-        g.tensors[tid].shape = [1, 3, 64, 64]
-    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32) for _ in range(2)]
+    g = load_benchmark_model(model, fill_missing_weights="random")
+    if model != "resnet18":
+        for tid in g.input_tensors:
+            s = g.tensors[tid].shape
+            g.tensors[tid].shape = [1, s[1] if len(s) == 4 else 3, 64, 64]
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    calib = [rng.standard_normal(shape).astype(np.float32) for _ in range(2)]
     qg = quantize_graph(g, calib, scheme=scheme)
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
-    (a,) = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=False)).run(xq)
-    (b,) = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=True)).run(xq)
-    assert b.dtype == a.dtype
-    np.testing.assert_array_equal(a, b)
+    a = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=False)).run(xq)
+    b = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=True)).run(xq)
+    for av, bv in zip(a, b):
+        assert bv.dtype == av.dtype
+        np.testing.assert_array_equal(av, bv)
