@@ -28,9 +28,25 @@ def param_spec(key: str, arr, tp: int) -> P:
     shape = np.shape(arr)
     if tp <= 1:
         return P()
-    if key.endswith("/hwio") and len(shape) == 4 and shape[3] % tp == 0 and shape[3] >= 2 * tp:
+    tag = key.rsplit("/", 1)[-1]
+    # conv weights, HWIO layout (float + quantized zero-point-shifted/deq
+    # variants): shard output channels
+    if (
+        tag in ("hwio", "hwio_zshift", "hwio_i8", "hwio_deq")
+        and len(shape) == 4
+        and shape[3] % tp == 0
+        and shape[3] >= 2 * tp
+    ):
         return P(None, None, None, "model")
-    if key.endswith("/raw") and len(shape) == 2 and shape[0] % tp == 0 and shape[0] >= 2 * tp:
+    # FC weights, [K, N] transposed layouts: shard output dim
+    if (
+        tag in ("kt_zshift", "kt_i8", "kt_deq")
+        and len(shape) == 2
+        and shape[1] % tp == 0
+        and shape[1] >= 2 * tp
+    ):
+        return P(None, "model")
+    if tag == "raw" and len(shape) == 2 and shape[0] % tp == 0 and shape[0] >= 2 * tp:
         return P("model", None)
     return P()
 

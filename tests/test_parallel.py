@@ -124,3 +124,41 @@ def test_serving_latency_stats(rng):
     st = server.latency_stats()
     assert st["count"] == 12
     assert 0 < st["p50_ms"] <= st["p99_ms"]
+
+
+def test_quantized_graph_tp_sharding(rng):
+    """A quantized graph TP-shards its (zero-point-shifted) conv/FC weights
+    over the model axis and matches the single-device output exactly."""
+    import numpy as np
+    import jax
+    from jax.sharding import PartitionSpec as P
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.parallel.mesh import make_mesh
+    from tengine_tpu.parallel.sharding import param_spec, shard_compiled
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+
+    g = load_benchmark_model("mobilenetv1", fill_missing_weights="random")
+    for tid in g.input_tensors:
+        g.tensors[tid].shape = [1, 3, 64, 64]
+    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = np.broadcast_to(
+        qmath.quantize_np(calib[0], t_in.quant, t_in.dtype), (2, 3, 64, 64)
+    ).copy()
+
+    cg = compile_graph(qg, Options(quant_mode="fast", batch_size=2))
+    (ref,) = cg.run(xq)
+
+    mesh = make_mesh(jax.devices()[:8], shape=(2, 4))
+    sharded = [
+        k for k, v in cg.params.items()
+        if param_spec(k, v, 4) != P()
+    ]
+    assert any("hwio_zshift" in k for k in sharded), sharded
+    scg = shard_compiled(cg, mesh)
+    (out,) = scg.run(jax.device_put(xq))
+    np.testing.assert_array_equal(out, ref)
