@@ -289,7 +289,10 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
 
     # --- compile pass ---
     store.phase = "trace"
-    jitted = jax.jit(forward)
+    donate = (
+        tuple(range(1, 1 + len(in_spec))) if options.donate_input else ()
+    )  # input-buffer donation: XLA may alias them for outputs/temps
+    jitted = jax.jit(forward, donate_argnums=donate)
     return CompiledGraph(graph, options, jitted, params, input_ids, output_ids)
 
 

@@ -199,3 +199,26 @@ def test_cost_analysis(rng):
     cg = compile_graph(g, Options())
     ca = cg.cost_analysis()
     assert ca.get("flops", 0) > 0
+
+
+def test_donate_input(rng):
+    """Options.donate_input lets XLA alias input buffers (exec-graph
+    inplace-reuse analog, cpu_pool.c)."""
+    import jax
+    import numpy as np
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.graph.ir import DType, Graph, TensorType
+    from tengine_tpu.utils.config import Options
+
+    g = Graph(name="don")
+    x = g.add_tensor("x", DType.FP32, [4, 4], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+    g.add_node("ReLu", "r", [x.idx], [y.idx], params=dict(negative_slope=0.0))
+    g.inputs, g.outputs = [inp.idx], [g.nodes[-1].idx]
+    cg = compile_graph(g, Options(donate_input=True))
+    for _ in range(2):  # fresh device buffer each call — donation-safe
+        xv = jax.device_put(rng.standard_normal((4, 4)).astype(np.float32))
+        host = np.asarray(xv)
+        (out,) = cg.run(xv)
+        np.testing.assert_allclose(out, np.maximum(host, 0.0))
