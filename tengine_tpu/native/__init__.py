@@ -20,7 +20,10 @@ import numpy as np
 
 from ..utils.log import logger
 
-_SRC = os.path.join(os.path.dirname(__file__), "improc.cc")
+_SRCS = [
+    os.path.join(os.path.dirname(__file__), f)
+    for f in ("improc.cc", "tm2_parser.cc", "postproc.cc")
+]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
@@ -31,8 +34,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         return _LIB
     _TRIED = True
     try:
-        with open(_SRC, "rb") as f:
-            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        h = hashlib.sha256()
+        for src in _SRCS:
+            with open(src, "rb") as f:
+                h.update(f.read())
+        digest = h.hexdigest()[:16]
         cache = os.path.join(
             os.environ.get("TT_CACHE_DIR", os.path.expanduser("~/.cache/tengine_tpu"))
         )
@@ -41,13 +47,22 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         if not os.path.exists(lib_path):
             tmp = lib_path + ".tmp"
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", _SRC, "-o", tmp],
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *_SRCS, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
             os.replace(tmp, lib_path)
         lib = ctypes.CDLL(lib_path)
         lib.tt_tm2_scan_buffers.restype = ctypes.c_long
+        lib.tt_tm2_parse.restype = ctypes.c_int
+        lib.tt_tm2_parse.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.tt_last_error.restype = ctypes.c_char_p
+        lib.tt_nms.restype = ctypes.c_long
         _LIB = lib
     except Exception as e:  # pragma: no cover - depends on toolchain
         logger.info("native library unavailable (%s); using numpy fallbacks", e)
@@ -138,6 +153,64 @@ def letterbox(img: np.ndarray, out_h: int, out_w: int, pad_value: int = 114) -> 
     oy, ox = (out_h - nh) // 2, (out_w - nw) // 2
     out[oy : oy + nh, ox : ox + nw] = resized
     return out
+
+
+def tm2_parse(data: bytes) -> Optional[bytes]:
+    """Full native TM2 parse -> wire buffer (see tm2_parser.cc), or None when
+    the native library is unavailable. Raises ValueError on malformed files."""
+    lib = _build_and_load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_long()
+    rc = lib.tt_tm2_parse(data, len(data), ctypes.byref(out), ctypes.byref(out_len))
+    if rc != 0:
+        raise ValueError(
+            "native tm2 parse: " + lib.tt_last_error().decode("utf-8", "replace")
+        )
+    try:
+        return ctypes.string_at(out, out_len.value)
+    finally:
+        lib.tt_buffer_free(out)
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float,
+        max_out: int = 0) -> np.ndarray:
+    """Hard NMS on [N,4] x1y1x2y2 boxes; returns kept indices sorted by score
+    (examples/common NMS loop). Native when available, numpy fallback."""
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    n = len(scores)
+    if max_out <= 0:
+        max_out = n
+    lib = _build_and_load()
+    if lib is not None:
+        keep = np.empty(min(n, max_out), np.int32)
+        m = lib.tt_nms(
+            _cptr(boxes), _cptr(scores), n,
+            ctypes.c_float(iou_threshold), _cptr(keep), len(keep),
+        )
+        return keep[:m]
+    order = np.argsort(-scores, kind="stable")
+    keep_list = []
+    suppressed = np.zeros(n, bool)
+    areas = np.maximum(boxes[:, 2] - boxes[:, 0], 0) * np.maximum(
+        boxes[:, 3] - boxes[:, 1], 0
+    )
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep_list.append(i)
+        if len(keep_list) >= max_out:
+            break
+        xx1 = np.maximum(boxes[i, 0], boxes[order, 0])
+        yy1 = np.maximum(boxes[i, 1], boxes[order, 1])
+        xx2 = np.minimum(boxes[i, 2], boxes[order, 2])
+        yy2 = np.minimum(boxes[i, 3], boxes[order, 3])
+        inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+        iou = inter / np.maximum(areas[i] + areas[order] - inter, 1e-9)
+        suppressed[order[iou > iou_threshold]] = True
+    return np.asarray(keep_list, np.int32)
 
 
 def tm2_scan_buffers(data: bytes) -> Optional[np.ndarray]:

@@ -48,6 +48,108 @@ def test_letterbox(rng):
     assert (out[:15] == 114).all() and (out[-15:] == 114).all()
 
 
+def _graphs_equal(a, b):
+    assert (a.name, a.layout, a.model_layout, a.source_format) == (
+        b.name, b.layout, b.model_layout, b.source_format
+    )
+    assert a.inputs == b.inputs and a.outputs == b.outputs
+    assert len(a.tensors) == len(b.tensors) and len(a.nodes) == len(b.nodes)
+    for ta, tb in zip(a.tensors, b.tensors):
+        assert (ta.name, ta.dtype, ta.shape, ta.tensor_type) == (
+            tb.name, tb.dtype, tb.shape, tb.tensor_type
+        )
+        assert (ta.quant is None) == (tb.quant is None)
+        if ta.quant:
+            assert np.array_equal(ta.quant.scales, tb.quant.scales)
+            assert np.array_equal(ta.quant.zero_points, tb.quant.zero_points)
+            assert ta.quant.width == tb.quant.width
+        assert (ta.data is None) == (tb.data is None)
+        if ta.data is not None:
+            assert np.array_equal(ta.data, tb.data)
+    for na, nb in zip(a.nodes, b.nodes):
+        assert (na.op, na.name, na.inputs, na.outputs) == (
+            nb.op, nb.name, nb.inputs, nb.outputs
+        )
+        assert list(na.params.keys()) == list(nb.params.keys()), na.op
+        for k in na.params:
+            va, vb = na.params[k], nb.params[k]
+            assert type(va) is type(vb), (na.op, k, va, vb)
+            assert va == vb, (na.op, k, va, vb)
+
+
+@pytest.mark.parametrize(
+    "fname",
+    [
+        "squeezenet_v1.1_benchmark.tmfile",
+        "mobilenet_benchmark.tmfile",
+        "mssd_benchmark.tmfile",        # PriorBox/DetectionOutput vec params
+        "retinaface_benchmark.tmfile",
+        "yolov3_tiny_benchmark.tmfile",
+        "mobilenet_v3_benchmark.tmfile",
+    ],
+)
+def test_native_tm2_parser_equals_python(fname):
+    """Native serializer (tm2_parser.cc) must produce the identical IR the
+    pure-Python reader does — params byte-for-byte, weights view-for-view."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    from tengine_tpu.serializer.tm2.reader import load_tm_bytes, load_tm_bytes_py
+
+    with open(f"/root/reference/benchmark/models/{fname}", "rb") as f:
+        data = f.read()
+    gp = load_tm_bytes_py(data, name=fname, fill_missing_weights="random")
+    gn = load_tm_bytes(data, name=fname, fill_missing_weights="random")
+    _graphs_equal(gp, gn)
+
+
+def test_native_tm2_parser_quantized_roundtrip(rng):
+    """Writer output (with real weights + per-channel quant params) parses
+    identically through both parsers."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    from tengine_tpu.serializer.tm2.reader import load_tm_bytes, load_tm_bytes_py
+    from tengine_tpu.serializer.tm2.writer import graph_to_tm_bytes
+    from tests.test_quantize import make_quant_conv_graph
+
+    _, qg, _ = make_quant_conv_graph("int8", rng)
+    data = graph_to_tm_bytes(qg)
+    _graphs_equal(load_tm_bytes_py(data), load_tm_bytes(data))
+
+
+def test_native_tm2_parser_rejects_malformed():
+    """Bounds-checked parse: truncated/corrupt files raise, never crash
+    (the reference's loader trusts the file; ours must not)."""
+    if not native.available():
+        pytest.skip("native unavailable")
+    with open(
+        "/root/reference/benchmark/models/mobilenet_benchmark.tmfile", "rb"
+    ) as f:
+        data = f.read()
+    with pytest.raises(ValueError):
+        native.tm2_parse(data[: len(data) // 3])
+    bad = bytearray(data)
+    bad[8:12] = (0xFFFFFFF0).to_bytes(4, "little")  # root offset past EOF
+    with pytest.raises(ValueError):
+        native.tm2_parse(bytes(bad))
+    with pytest.raises(ValueError):
+        native.tm2_parse(b"\x07\x00bogus")
+
+
+def test_native_nms_matches_fallback(rng):
+    boxes = rng.uniform(0, 100, (200, 4)).astype(np.float32)
+    boxes[:, 2:] = boxes[:, :2] + rng.uniform(1, 40, (200, 2)).astype(np.float32)
+    scores = rng.uniform(0, 1, 200).astype(np.float32)
+    a = native.nms(boxes, scores, 0.45)
+    lib = native._LIB
+    try:
+        native._LIB = None
+        native._TRIED = True
+        b = native.nms(boxes, scores, 0.45)
+    finally:
+        native._LIB = lib
+    assert np.array_equal(a, b)
+
+
 def test_tm2_scan_matches_python():
     path = "/root/reference/benchmark/models/mobilenet_benchmark.tmfile"
     with open(path, "rb") as f:
