@@ -69,26 +69,16 @@ def decode_head(out, img_size, conf_th):
 
 
 def nms(boxes, iou_th=0.45):
+    """Class-aware hard NMS via the native kernel (native/postproc.cc):
+    boxes of different classes never overlap after a per-class coordinate
+    offset, so one class-agnostic pass suppresses exactly per class."""
     if not len(boxes):
         return boxes
-    keep = []
-    order = np.argsort(-boxes[:, 4])
-    while order.size:
-        i = order[0]
-        keep.append(i)
-        if order.size == 1:
-            break
-        rest = order[1:]
-        xx0 = np.maximum(boxes[i, 0], boxes[rest, 0])
-        yy0 = np.maximum(boxes[i, 1], boxes[rest, 1])
-        xx1 = np.minimum(boxes[i, 2], boxes[rest, 2])
-        yy1 = np.minimum(boxes[i, 3], boxes[rest, 3])
-        inter = np.maximum(xx1 - xx0, 0) * np.maximum(yy1 - yy0, 0)
-        a_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-        a_r = (boxes[rest, 2] - boxes[rest, 0]) * (boxes[rest, 3] - boxes[rest, 1])
-        iou = inter / np.maximum(a_i + a_r - inter, 1e-9)
-        same = boxes[rest, 5] == boxes[i, 5]
-        order = rest[~(same & (iou > iou_th))]
+    from tengine_tpu import native
+
+    span = float(boxes[:, :4].max()) + 1.0
+    shifted = boxes[:, :4] + boxes[:, 5:6] * span
+    keep = native.nms(shifted, boxes[:, 4], iou_th)
     return boxes[keep]
 
 

@@ -47,7 +47,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         if not os.path.exists(lib_path):
             tmp = lib_path + ".tmp"
             subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", *_SRCS, "-o", tmp],
+                ["g++", "-O3", "-fPIC", "-shared", "-std=c++17", "-pthread",
+                 *_SRCS, "-o", tmp],
                 check=True,
                 capture_output=True,
             )
@@ -153,6 +154,54 @@ def letterbox(img: np.ndarray, out_h: int, out_w: int, pad_value: int = 114) -> 
     oy, ox = (out_h - nh) // 2, (out_w - nw) // 2
     out[oy : oy + nh, ox : ox + nw] = resized
     return out
+
+
+def preprocess_batch(
+    images,
+    out_h: int,
+    out_w: int,
+    mean,
+    scale,
+    quant: Optional[tuple] = None,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Threaded batch preprocessing (resize -> normalize -> optional input
+    quantization) into one [N,C,H,W] array — the data-loader hot path
+    (improc.cc:tt_preprocess_batch). `quant` = (scale, zero_point) for uint8
+    model inputs; None for fp32. Numpy fallback when native is unavailable."""
+    images = [np.ascontiguousarray(im, np.uint8) for im in images]
+    n = len(images)
+    c = images[0].shape[2] if n else 3
+    mean = np.ascontiguousarray(mean, np.float32)
+    scale = np.ascontiguousarray(scale, np.float32)
+    lib = _build_and_load()
+    if lib is not None and n:
+        ptrs = (ctypes.c_void_p * n)(*[im.ctypes.data for im in images])
+        dims = np.asarray([[im.shape[0], im.shape[1]] for im in images], np.int32)
+        if quant is None:
+            out = np.empty((n, c, out_h, out_w), np.float32)
+            qflag, qs, qzp = 0, 1.0, 0
+        else:
+            out = np.empty((n, c, out_h, out_w), np.uint8)
+            qflag, (qs, qzp) = 1, quant
+        lib.tt_preprocess_batch(
+            ptrs, _cptr(dims), n, c, out_h, out_w, _cptr(mean), _cptr(scale),
+            qflag, ctypes.c_float(float(qs)), int(qzp), _cptr(out),
+            int(n_threads),
+        )
+        return out
+    outs = []
+    for im in images:
+        r = resize_bilinear(im, out_h, out_w)
+        v = ((r.astype(np.float32) - mean) * scale).transpose(2, 0, 1)
+        if quant is not None:
+            qs, qzp = quant
+            v = np.clip(np.rint(v / qs) + qzp, 0, 255).astype(np.uint8)
+        outs.append(v)
+    dtype = np.uint8 if quant is not None else np.float32
+    return np.stack(outs).astype(dtype) if outs else np.empty(
+        (0, c, out_h, out_w), dtype
+    )
 
 
 def tm2_parse(data: bytes) -> Optional[bytes]:

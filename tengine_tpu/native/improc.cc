@@ -13,6 +13,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -88,6 +90,64 @@ void tt_letterbox_u8(const uint8_t* src, int sh, int sw, int c, uint8_t* dst,
     std::memcpy(dst + ((y + oy) * dw + ox) * c, tmp + y * nw * c, (size_t)nw * c);
   }
   delete[] tmp;
+}
+
+// ---------------------------------------------------------------------------
+// Threaded batch preprocessor — the data-loader hot path. Each image:
+// bilinear resize to (out_h, out_w), per-channel (x-mean)*scale normalize to
+// CHW fp32, optionally requantized to uint8 (round(v/qscale)+qzp). Images are
+// distributed over a thread pool; this is the native analog of the per-image
+// loops in the reference's example/benchmark harnesses, batched for serving.
+//
+//   imgs:  n pointers to HWC uint8 images, dims[i] = {h_i, w_i}
+//   out:   [n, c, out_h, out_w] fp32, or uint8 when quantize != 0
+// ---------------------------------------------------------------------------
+void tt_preprocess_batch(const uint8_t** imgs, const int32_t* dims, int n,
+                         int c, int out_h, int out_w, const float* mean,
+                         const float* scale, int quantize, float qscale,
+                         int qzp, void* out, int n_threads) {
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  n_threads = std::min(n_threads, n > 0 ? n : 1);
+  const size_t plane = (size_t)out_h * out_w;
+  const size_t img_elems = (size_t)c * plane;
+  const float inv_q = quantize ? 1.0f / qscale : 0.0f;
+
+  auto work = [&](int begin, int end) {
+    std::vector<uint8_t> resized((size_t)out_h * out_w * c);
+    for (int i = begin; i < end; ++i) {
+      tt_resize_bilinear_u8(imgs[i], dims[2 * i], dims[2 * i + 1], c,
+                            resized.data(), out_h, out_w);
+      for (int k = 0; k < c; ++k) {
+        const float m = mean[k], s = scale[k];
+        if (!quantize) {
+          float* dst = (float*)out + i * img_elems + k * plane;
+          for (size_t p = 0; p < plane; ++p)
+            dst[p] = ((float)resized[p * c + k] - m) * s;
+        } else {
+          uint8_t* dst = (uint8_t*)out + i * img_elems + k * plane;
+          for (size_t p = 0; p < plane; ++p) {
+            float v = ((float)resized[p * c + k] - m) * s;
+            int q = (int)std::lround(v * inv_q) + qzp;
+            dst[p] = (uint8_t)std::min(std::max(q, 0), 255);
+          }
+        }
+      }
+    }
+  };
+
+  if (n_threads <= 1) {
+    work(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  int per = (n + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    int b = t * per, e = std::min(n, b + per);
+    if (b >= e) break;
+    pool.emplace_back(work, b, e);
+  }
+  for (auto& th : pool) th.join();
 }
 
 // ---------------------------------------------------------------------------

@@ -150,6 +150,50 @@ def test_native_nms_matches_fallback(rng):
     assert np.array_equal(a, b)
 
 
+def test_preprocess_batch_matches_scalar_path(rng):
+    """Threaded batch preprocessor == per-image resize+normalize(+quantize)."""
+    images = [
+        rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        for h, w in [(40, 50), (64, 64), (31, 77)]
+    ]
+    mean = [104.0, 117.0, 123.0]
+    scale = [0.017, 0.017, 0.017]
+    out = native.preprocess_batch(images, 32, 32, mean, scale, n_threads=3)
+    assert out.shape == (3, 3, 32, 32) and out.dtype == np.float32
+    for i, im in enumerate(images):
+        r = native.resize_bilinear(im, 32, 32)
+        ref = ((r.astype(np.float32) - np.asarray(mean, np.float32))
+               * np.asarray(scale, np.float32)).transpose(2, 0, 1)
+        np.testing.assert_allclose(out[i], ref, rtol=1e-6)
+
+    q = native.preprocess_batch(images, 32, 32, mean, scale, quant=(0.02, 110))
+    assert q.shape == (3, 3, 32, 32) and q.dtype == np.uint8
+    ref_q = np.clip(np.rint(out / 0.02) + 110, 0, 255).astype(np.uint8)
+    assert np.abs(q.astype(int) - ref_q.astype(int)).max() <= 1
+
+
+def test_image_batch_loader(tmp_path, rng):
+    PIL = pytest.importorskip("PIL.Image")
+    from tengine_tpu.utils.data import ImageBatchLoader, list_images
+
+    for i in range(5):
+        arr = rng.integers(0, 255, (48 + i, 40, 3)).astype(np.uint8)
+        PIL.fromarray(arr).save(tmp_path / f"img{i}.png")
+    paths = list_images(str(tmp_path))
+    assert len(paths) == 5
+    loader = ImageBatchLoader(paths, (32, 32), batch_size=2, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == len(loader) == 3
+    sizes = [b.shape for b, _ in batches]
+    assert sizes == [(2, 3, 32, 32), (2, 3, 32, 32), (1, 3, 32, 32)]
+    seen = [p for _, chunk in batches for p in chunk]
+    assert seen == paths
+    # deterministic: same files -> same pixels
+    again = list(ImageBatchLoader(paths, (32, 32), batch_size=2))
+    for (a, _), (b, _) in zip(batches, again):
+        assert np.array_equal(a, b)
+
+
 def test_tm2_scan_matches_python():
     path = "/root/reference/benchmark/models/mobilenet_benchmark.tmfile"
     with open(path, "rb") as f:

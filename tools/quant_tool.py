@@ -30,19 +30,15 @@ def load_calibration(args, shape):
     """Calibration batches: image dir (decoded via PIL if available) or
     synthetic random data."""
     if args.images and os.path.isdir(args.images):
-        files = sorted(
-            glob.glob(os.path.join(args.images, "*")))[: args.num_images]
         try:
-            from PIL import Image
+            from tengine_tpu.utils.data import ImageBatchLoader, list_images
 
-            batches = []
-            for fpath in files:
-                img = Image.open(fpath).convert("RGB").resize((shape[3], shape[2]))
-                a = np.asarray(img, np.float32).transpose(2, 0, 1)[None]
-                a = (a - np.array(args.mean).reshape(1, 3, 1, 1)) * np.array(
-                    args.scale
-                ).reshape(1, 3, 1, 1)
-                batches.append(a.astype(np.float32))
+            files = list_images(args.images)[: args.num_images]
+            loader = ImageBatchLoader(
+                files, (shape[2], shape[3]), batch_size=1,
+                mean=args.mean, scale=args.scale,
+            )
+            batches = [batch for batch, _ in loader]
             if batches:
                 return batches
         except ImportError:
