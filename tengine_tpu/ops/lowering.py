@@ -144,8 +144,16 @@ def lower_deconv(ctx: LowerCtx, x: TArr, *rest: TArr):
     group = p["group"]
     xn = as_nhwc(x)
 
-    # tmfile deconv weight is [in_c, out_c/group, kh, kw] (IOHW)
-    w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwoi")  # -> HW,O/g,I
+    # tmfile deconv weight is [in_c, out_c/group, kh, kw] (IOHW). As a
+    # forward conv with feature_group_count=g, HWOI needs O=out_c (group-
+    # major) and I=in_c/g: reshape the group axis out of I and into O.
+    def repack_deconv(a: np.ndarray) -> np.ndarray:
+        in_c, ocg, akh, akw = a.shape
+        a = a.reshape(group, in_c // group, ocg, akh, akw)
+        a = np.transpose(a, (3, 4, 0, 2, 1))  # kh,kw,g,O/g,I/g
+        return a.reshape(akh, akw, group * ocg, in_c // group)
+
+    w = ctx.weight(1, repack_deconv, tag="hwoi")
     kh, kw = w.shape[0], w.shape[1]
     kh_eff = (kh - 1) * dil_h + 1
     kw_eff = (kw - 1) * dil_w + 1
@@ -318,7 +326,9 @@ def lower_gemm(ctx: LowerCtx, a: TArr, b: TArr, *rest: TArr):
         B = B.T
     out = p.get("alpha", 1.0) * jnp.dot(A, B, preferred_element_type=jnp.float32)
     if ctx.num_inputs > 2:
-        out = out + p.get("beta", 1.0) * as_semantic(wrap(rest[0]))
+        c = rest[0]
+        C = as_semantic(c) if isinstance(c, TArr) else jnp.asarray(c.x)
+        out = out + p.get("beta", 1.0) * C
     return wrap(out)
 
 
