@@ -43,9 +43,10 @@ def load_torch_model(spec: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--framework", default="torch",
-                    choices=["torch", "onnx", "tf", "caffe", "tflite", "tengine"])
+                    choices=["torch", "onnx", "tf", "caffe", "tflite",
+                             "darknet", "tengine"])
     ap.add_argument("-w", "--weights", default=None,
-                    help="caffe: the .caffemodel file")
+                    help="caffe: .caffemodel ; darknet: .weights file")
     ap.add_argument("-m", "--model", required=True,
                     help="torch: file.py:factory ; tengine: input tmfile")
     ap.add_argument("-o", "--output", required=True, help="output tmfile")
@@ -82,6 +83,11 @@ def main():
         from tengine_tpu.convert.caffe_frontend import from_caffe
 
         g = from_caffe(args.model, args.weights, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "darknet":
+        from tengine_tpu.convert.darknet_frontend import from_darknet
+
+        g = from_darknet(args.model, args.weights)
         print(f"imported {args.model}: {len(g.nodes)} nodes")
     elif args.framework == "tflite":
         from tengine_tpu.convert.tflite_frontend import from_tflite
