@@ -44,9 +44,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-f", "--framework", default="torch",
                     choices=["torch", "onnx", "tf", "caffe", "tflite",
-                             "darknet", "tengine"])
+                             "darknet", "mxnet", "ncnn", "tengine"])
     ap.add_argument("-w", "--weights", default=None,
-                    help="caffe: .caffemodel ; darknet: .weights file")
+                    help="caffe: .caffemodel ; darknet: .weights ; "
+                         "mxnet: .params ; ncnn: .bin")
     ap.add_argument("-m", "--model", required=True,
                     help="torch: file.py:factory ; tengine: input tmfile")
     ap.add_argument("-o", "--output", required=True, help="output tmfile")
@@ -88,6 +89,16 @@ def main():
         from tengine_tpu.convert.darknet_frontend import from_darknet
 
         g = from_darknet(args.model, args.weights)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "mxnet":
+        from tengine_tpu.convert.mxnet_frontend import from_mxnet
+
+        g = from_mxnet(args.model, args.weights, input_shape=shape)
+        print(f"imported {args.model}: {len(g.nodes)} nodes")
+    elif args.framework == "ncnn":
+        from tengine_tpu.convert.ncnn_frontend import from_ncnn
+
+        g = from_ncnn(args.model, args.weights, input_shape=shape)
         print(f"imported {args.model}: {len(g.nodes)} nodes")
     elif args.framework == "tflite":
         from tengine_tpu.convert.tflite_frontend import from_tflite
