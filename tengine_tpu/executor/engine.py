@@ -262,15 +262,22 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
     options = options or Options.from_env()
     if options.debug_nans:
         jax.config.update("jax_debug_nans", True)
-    if (
-        options.fuse_dwpw
-        and _graph_quantized(graph)
+    fast_quant = (
+        _graph_quantized(graph)
         and options.quant_mode in ("auto", "fast")
         and not options.force_ref_kernels
-    ):
+    )
+    if fast_quant and options.fuse_dwpw:
         from ..graph.passes import fuse_dwpw
 
-        fuse_dwpw(graph)
+        graph = graph.clone()  # rewrites are per-compile, never in place
+        fuse_dwpw(graph, require_c128=options.quant_bf16_storage)
+    if fast_quant and options.pallas_qconv and not options.quant_bf16_storage:
+        # residual eltwise-sums fold into the pallas direct-conv kernel
+        from ..graph.passes import fuse_conv_add
+
+        graph = graph.clone()
+        fuse_conv_add(graph)
     store = ParamStore()
     forward, input_ids, output_ids = build_forward(graph, options, store)
 

@@ -266,6 +266,42 @@ class Graph:
             raise ValueError(f"graph has unsatisfiable nodes (cycle or dangling input): {missing}")
         return order
 
+    def clone(self) -> "Graph":
+        """Structural copy for compile-time graph rewrites: nodes/tensors and
+        their param dicts/lists are fresh objects, but CONST `data` arrays
+        (the model weights, possibly mmap views) are shared, so a clone is
+        cheap even for large models."""
+        import copy as _copy
+
+        g = Graph(
+            layout=self.layout,
+            model_layout=self.model_layout,
+            name=self.name,
+            source_format=self.source_format,
+        )
+        g.inputs = list(self.inputs)
+        g.outputs = list(self.outputs)
+        for t in self.tensors:
+            q = None
+            if t.quant is not None:
+                q = QuantParam(t.quant.scales, t.quant.zero_points, t.quant.width)
+            g.tensors.append(
+                Tensor(
+                    idx=t.idx, name=t.name, dtype=t.dtype, shape=list(t.shape),
+                    tensor_type=t.tensor_type, layout=t.layout, quant=q,
+                    data=t.data, producer=t.producer, consumers=list(t.consumers),
+                )
+            )
+        for n in self.nodes:
+            g.nodes.append(
+                Node(
+                    idx=n.idx, name=n.name, op=n.op,
+                    inputs=list(n.inputs), outputs=list(n.outputs),
+                    params=_copy.deepcopy(n.params),
+                )
+            )
+        return g
+
     def dump(self) -> str:
         """Readable graph listing (dump_ir_graph analog, graph/graph.c)."""
         lines = [

@@ -196,7 +196,7 @@ def _act_quant_ok(t) -> bool:
     )
 
 
-def fuse_dwpw(g: Graph) -> int:
+def fuse_dwpw(g: Graph, require_c128: bool = False) -> int:
     """Fuse quantized depthwise-3x3 -> pointwise-1x1 pairs (the
     mobilenet-family block) into one `FusedDwPwConv` node, lowered to a
     single Pallas kernel that keeps the depthwise intermediate in VMEM
@@ -207,6 +207,8 @@ def fuse_dwpw(g: Graph) -> int:
     for dw in list(g.nodes):
         if not _is_dw3x3(g, dw):
             continue
+        if require_c128 and int(g.tensors[dw.inputs[1]].shape[0]) % 128 != 0:
+            continue  # bf16-storage kernel needs 128-aligned lanes
         pw = _single_consumer(g, dw)
         if pw is None or not _is_pw1x1(g, pw) or pw.inputs[0] != dw.outputs[0]:
             continue
@@ -249,6 +251,107 @@ def fuse_dwpw(g: Graph) -> int:
             shell.inputs = []
             shell.outputs = []
         fused += 1
+    return fused
+
+
+def _conv_residual_ok(g: Graph, n: Node) -> bool:
+    """Geometry envelope of the qconv_direct Pallas kernel
+    (ops/pallas/qconv.py): group 1, dilation 1, stride 1/2, C % 128 == 0."""
+    if n.op != "Convolution" or len(n.inputs) < 2:
+        return False
+    p = n.params
+    wt = g.tensors[n.inputs[1]]
+    if len(wt.shape) != 4:
+        return False
+    k1 = p.get("kernel_h", 1) == 1 and p.get("kernel_w", 1) == 1
+    return (
+        p.get("group", 1) == 1
+        and p.get("dilation_h", 1) == 1
+        and p.get("dilation_w", 1) == 1
+        and p.get("stride_h", 1) == p.get("stride_w", 1)
+        and p.get("stride_h", 1) in (1, 2)
+        and p.get("kernel_h", 1) * p.get("kernel_w", 1) <= 49
+        and (k1 or int(wt.shape[1]) % 128 == 0)
+    )
+
+
+def fuse_conv_add(g: Graph) -> int:
+    """Fuse quantized Convolution -> Eltwise(SUM) residual pairs (the resnet
+    block tail) into the conv node, lowered by the qconv_direct Pallas kernel
+    with the add folded into its requantization stage (bit-faithful: both
+    requant steps are reproduced in-kernel). The residual tensor is appended
+    to the conv's inputs; params record its position and the intermediate
+    tensor's quant params. Returns number of fusions."""
+    from ..serializer.tm2 import format as tmfmt
+
+    fused = 0
+    for add in list(g.nodes):
+        if add.op != "Eltwise" or add.params.get("type") != tmfmt.ELT_SUM:
+            continue
+        if len(add.inputs) != 2:
+            continue
+        for which in (0, 1):
+            mid_tid, r_tid = add.inputs[which], add.inputs[1 - which]
+            mid = g.tensors[mid_tid]
+            r = g.tensors[r_tid]
+            if mid.producer is None or r.data is not None:
+                continue
+            conv = g.nodes[mid.producer]
+            if not _conv_residual_ok(g, conv):
+                continue
+            if _single_consumer(g, conv) is not add:
+                continue
+            t_out = g.tensors[add.outputs[0]]
+            t_x = g.tensors[conv.inputs[0]]
+            if not all(_act_quant_ok(t) for t in (t_x, mid, r, t_out)):
+                continue
+            if not (t_x.dtype == mid.dtype == r.dtype == t_out.dtype):
+                continue
+            # spatial shapes must match exactly (no broadcast in-kernel)
+            if mid.shape and r.shape and list(mid.shape) != list(r.shape):
+                continue
+            conv.inputs = list(conv.inputs) + [r_tid]
+            conv.params["fused_add_pos"] = len(conv.inputs) - 1
+            conv.params["fused_add_mid"] = mid_tid
+            conv.outputs = [add.outputs[0]]
+            g.tensors[add.outputs[0]].producer = conv.idx
+            r.consumers = sorted(set([c for c in r.consumers if c != add.idx] + [conv.idx]))
+            mid.consumers = []
+            add.op = "Noop"
+            add.inputs = []
+            add.outputs = []
+            # absorb a trailing same-quant ReLu (relu commutes with the
+            # monotonic quantization map: max(q, zp) in the q domain)
+            relu = _single_consumer(g, conv)
+            if (
+                relu is not None
+                and relu.op == "ReLu"
+                and not relu.params.get("negative_slope")
+                and add.idx not in g.outputs
+                and conv.idx not in g.outputs
+            ):
+                t_ro = g.tensors[relu.outputs[0]]
+                qo = t_out.quant
+                qr = t_ro.quant
+                if (
+                    qr is not None
+                    and not qr.per_channel
+                    and float(qo.scales) == float(qr.scales)
+                    and int(qo.zero_points) == int(qr.zero_points)
+                    and t_ro.dtype == t_out.dtype
+                ):
+                    conv.params["fused_add_relu"] = True
+                    conv.outputs = [relu.outputs[0]]
+                    t_ro.producer = conv.idx
+                    g.tensors[add.outputs[0] if add.outputs else 0]
+                    g.tensors[conv.params["fused_add_mid"]].consumers = []
+                    if relu.idx in g.outputs:
+                        g.outputs = [conv.idx if o == relu.idx else o for o in g.outputs]
+                    relu.op = "Noop"
+                    relu.inputs = []
+                    relu.outputs = []
+            fused += 1
+            break
     return fused
 
 

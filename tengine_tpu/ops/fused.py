@@ -28,6 +28,107 @@ from .lowering import apply_activation, compute_dtype
 from .registry import SCORE_BEST, SCORE_CANDO, SCORE_REF, LowerCtx, register_op
 
 
+def _bf16_fused_ok(ctx: LowerCtx) -> bool:
+    """fused_dwpw_bf16 (ops/pallas/fused_dwpw2.py): the default-storage fused
+    block kernel. Needs bf16 storage mode and 128-aligned channels (manual
+    halo DMA lane slicing)."""
+    if not (
+        qmath.node_is_quant(ctx)
+        and ctx.options.quant_mode in ("auto", "fast")
+        and not ctx.options.force_ref_kernels
+        and ctx.options.quant_bf16_storage
+    ):
+        return False
+    return int(ctx.in_tensor(1).shape[0]) % 128 == 0
+
+
+@register_op("FusedDwPwConv", score=SCORE_BEST + 1, predicate=_bf16_fused_ok, quant=True)
+def lower_fused_dwpw_bf16(ctx: LowerCtx, x: TArr, *rest):
+    """dw3x3+pw1x1 block as one Pallas kernel in the bf16-storage domain:
+    the depthwise intermediate never touches HBM, zero-points fold into the
+    requant constants via the colsum identity."""
+    from .pallas.fused_dwpw2 import fused_dwpw_bf16
+
+    p = ctx.params
+    t_in = ctx.in_tensor(0)
+    t_wd = ctx.in_tensor(1)
+    t_wp = ctx.in_tensor(p["wp_pos"])
+    t_mid = ctx.graph.tensors[p["mid_tid"]]
+    t_out = ctx.out_tensor(0)
+
+    C = t_wd.shape[0]
+    C2 = t_wp.shape[0]
+
+    s_in, zp_in = _scalar_q(t_in.quant)
+    s_mid, zp_mid = _scalar_q(t_mid.quant)
+    s_out, zp_out = _scalar_q(t_out.quant)
+    wd_scales = _wscales(t_wd.quant, C)
+    wp_scales = _wscales(t_wp.quant, C2)
+    zp_wd = 0 if t_wd.quant.per_channel else _scalar_q(t_wd.quant)[1]
+    zp_wp = 0 if t_wp.quant.per_channel else _scalar_q(t_wp.quant)[1]
+
+    def wd_taps():
+        w = ctx.const_data(1).reshape(C, 9).astype(np.float32) - zp_wd
+        return np.ascontiguousarray(w.T)
+
+    wd = ctx.get_param("fdw2_wd", wd_taps)
+    md_np = (s_in * wd_scales / s_mid).astype(np.float32)
+    md = ctx.get_param("fdw2_md", lambda: md_np)
+
+    def bd_fold():
+        b = (
+            ctx.const_data(p["bd_pos"]).astype(np.float64)
+            if p["bd_pos"] >= 0
+            else np.zeros(C)
+        )
+        colsum = wd_taps().sum(axis=0).astype(np.float64)  # per-channel sum of taps
+        return ((b - zp_in * colsum) * md_np.astype(np.float64) + zp_mid).astype(np.float32)
+
+    bd = ctx.get_param("fdw2_bd", bd_fold)
+
+    def wp_kn():
+        w = ctx.const_data(p["wp_pos"]).reshape(C2, C).astype(np.float32) - zp_wp
+        return np.ascontiguousarray(w.T).astype(np.float32)  # exact in bf16 later
+
+    mp_np = (s_mid * wp_scales / s_out).astype(np.float32)
+    wp = ctx.get_param("fdw2_wp", lambda: wp_kn().astype(np.dtype("bfloat16")))
+    mp = ctx.get_param("fdw2_mp", lambda: mp_np)
+
+    def bp_fold():
+        b = (
+            ctx.const_data(p["bp_pos"]).astype(np.float64)
+            if p["bp_pos"] >= 0
+            else np.zeros(C2)
+        )
+        colsum = wp_kn().sum(axis=0).astype(np.float64)  # per-out-channel
+        return ((b - zp_mid * colsum) * mp_np.astype(np.float64) + zp_out).astype(np.float32)
+
+    bp = ctx.get_param("fdw2_bp", bp_fold)
+
+    mid_lo, mid_hi = qmath.QRANGE[t_mid.dtype]
+    lo, hi = qmath.QRANGE[t_out.dtype]
+    xn = as_nhwc(x)
+    if not jnp.issubdtype(xn.dtype, jnp.floating):
+        xn = xn.astype(jnp.bfloat16)  # graph-input edge case (exact <=9-bit)
+    out = fused_dwpw_bf16(
+        xn,
+        wd, md, bd, wp, mp, bp,
+        zp_in=zp_in,
+        stride=p["stride"],
+        act_d=p.get("act_d", -1),
+        act_p=p.get("act_p", -1),
+        inv_s_mid=1.0 / s_mid,
+        zp_mid=zp_mid,
+        mid_lo=mid_lo,
+        mid_hi=mid_hi,
+        inv_s_out=1.0 / s_out,
+        zp_out=zp_out,
+        lo=lo,
+        hi=hi,
+    )
+    return nhwc(out)
+
+
 def _fast_ok(ctx: LowerCtx) -> bool:
     return (
         qmath.node_is_quant(ctx)

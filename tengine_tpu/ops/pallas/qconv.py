@@ -1,0 +1,464 @@
+"""Pallas TPU kernel: direct k×k int8 convolution with fused requantization.
+
+The MXU multiplies int8 at ~2× the bf16 rate (measured 360 TOP/s vs 192
+TFLOP/s on v5e) with exact int32 accumulation. This kernel is the engine's
+general quantized-conv path: a k_h×k_w conv is computed as k_h·k_w shifted
+pointwise dots, each [TH·OW, C] × [C, C2] on the MXU, accumulated in int32 —
+exactly the conv's MAC count, no im2col materialization, and activations
+stream HBM as raw uint8/int8 (1 byte/elem; the engine's bf16 storage path
+costs 2).
+
+    grid over (batch-tiles, output-row tiles), double-buffered halo DMA:
+      DMA   input rows [TH·s + kh-1, Wp, C] (+halo) HBM -> VMEM, next step's
+            rows prefetched during compute (2-slot pipeline)
+      dot   for each tap (ky,kx): acc += x'[rows ky::s, cols kx::s] @ w'[tap]
+            (int8 MXU, int32 accumulate)
+      requant q = clip(round_away(acc·M[c] + B[c]))  (VPU) -> uint8/int8 out
+
+Asymmetric uint8 uses the same 4-term zero-point expansion as qgemm
+(ops/pallas/qgemm.py): operands re-centered by -128; the per-pixel rowsum
+correction is computed BY THE MXU via one extra all-ones output column
+appended to the weights (acc[..., C2] = rowsum), so the VPU never touches a
+k²·C-term sum. Padding: the wrapper pre-pads H/W with the input zero-point
+(conv padding semantics) and channels with the re-center value (so shifted
+padded lanes are exact zeros); weight K-rows pad with 0.
+
+Stride 2 uses the same column phase-split trick as the fused dw+pw kernel
+(Mosaic only supports unit-stride vector slices): the wrapper deinterleaves
+columns into even/odd phases and the kernel splits rows by reshape.
+
+Reference analog: the int8 im2col+i8gemm assembly kernels
+(device/cpu/op/conv/cortex-a/armv8.2/*) + requantization, in one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_away(x):
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
+def _requant_store(q, act, inv_s_out, zp_out, lo, hi, out_jnp):
+    """activation clamp (requant domain) -> round-half-away -> clip -> store."""
+    if act is not None and act >= 0:
+        if act == 1:
+            q = jnp.clip(q, zp_out - inv_s_out, zp_out + inv_s_out)
+        else:
+            q = jnp.maximum(q, float(zp_out))
+            if act > 0:
+                q = jnp.minimum(q, act * inv_s_out + zp_out)
+    q = jnp.clip(_round_away(q), lo, hi)
+    if out_jnp == jnp.float32:
+        return q  # caller keeps the exact integer-valued f32
+    # Mosaic lacks a direct f32->u8 cast; hop through int32
+    return q.astype(jnp.int32).astype(out_jnp)
+
+
+def _ru(v, m):
+    return (v + m - 1) // m * m
+
+
+def _qconv_kernel(
+    x_hbm,      # s1: [N, Hp, Wp, C];  s2: [N, Hp, 2, Wp2, C] col-phase-split
+    w_ref,      # [kh*kw, C, C2e] int8 (C2e = C2 + ones-column block if u8)
+    m_ref,      # [1, C2] fp32
+    b_ref,      # [1, C2] fp32
+    *rest,      # [r_ref if residual,] o_ref, x_vmem scratch, sem
+    kh, kw, stride, bn, th, ow, shift_in, cw, act,
+    inv_s_out, zp_out, lo, hi, out_jnp, n_c2,
+    res=None,   # residual fusion: (s_mid, zp_mid, s_r, zp_r, s_out2, zp_out2)
+):
+    if res is not None:
+        r_ref, o_ref, x_vmem, sem = rest
+    else:
+        o_ref, x_vmem, sem = rest
+    nb = pl.program_id(0)
+    i = pl.program_id(1)
+    n_i = pl.num_programs(1)
+    in_rows = x_vmem.shape[2]
+
+    def dma(slot, nb_, i_):
+        row0 = i_ * (th * stride)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(nb_ * bn, bn), pl.ds(row0, in_rows)],
+            x_vmem.at[slot],
+            sem.at[slot],
+        )
+
+    step = nb * n_i + i
+    slot = jax.lax.rem(step, 2)
+    nxt = jax.lax.rem(step + 1, 2)
+
+    @pl.when(step == 0)
+    def _():
+        dma(0, 0, 0).start()
+
+    @pl.when(step + 1 < pl.num_programs(0) * n_i)
+    def _():
+        i1 = i + 1
+        nb1 = jnp.where(i1 == n_i, nb + 1, nb)
+        i1 = jnp.where(i1 == n_i, 0, i1)
+        dma(nxt, nb1, i1).start()
+
+    dma(slot, nb, i).wait()
+
+    C = x_vmem.shape[-1]
+    C2e = w_ref.shape[-1]
+    ones_col = C2e > n_c2  # lane-aligned MXU rowsum column block appended
+
+    def requant_block(acc, rsum, r=None):
+        accf = acc[:, :n_c2].astype(jnp.float32)
+        if cw != 0:
+            if ones_col:
+                # rowsum over the receptive field computed BY THE MXU via the
+                # all-ones weight column block (uint8 zero-point correction)
+                c2a = (n_c2 + 127) // 128 * 128
+                accf = accf + cw * acc[:, c2a : c2a + 1].astype(jnp.float32)
+            else:
+                accf = accf + cw * rsum.astype(jnp.float32)
+        q = accf * m_ref[0][None, :] + b_ref[0][None, :]
+        t = _requant_store(q, act, inv_s_out, zp_out, lo, hi, jnp.float32)
+        if res is None:
+            return t.astype(jnp.int32).astype(out_jnp)
+        # fused residual add, reproducing the unfused eltwise-sum numerics
+        # exactly: dequant both quantized operands, add, requantize
+        s_mid, zp_mid, s_r, zp_r, s_out2, zp_out2, relu2 = res
+        tf = (t - zp_mid) * s_mid
+        rf = (r.astype(jnp.float32) - zp_r) * s_r
+        y = _round_away((tf + rf) / s_out2) + zp_out2
+        if relu2:  # trailing same-quant relu: max(q, zp) in the q domain
+            y = jnp.maximum(y, float(zp_out2))
+        return jnp.clip(y, lo, hi).astype(jnp.int32).astype(out_jnp)
+
+    def tap_dot(xs, m_rows, acc, rsum):
+        if shift_in:
+            # uint8 -> re-centered int8 (int32 hop: no s16 vsub)
+            xs = (xs.astype(jnp.int32) - 128).astype(jnp.int8)
+        xf = xs.reshape(m_rows, C)
+        d = jax.lax.dot_general(
+            xf, w_ref[0] if kh * kw == 1 else w_ref[tap_dot.k],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        acc = d if acc is None else acc + d
+        if cw != 0 and not ones_col:
+            # zero-point rowsum on the VPU (small-C2 variant)
+            s = jnp.sum(xf.astype(jnp.int32), axis=1, keepdims=True)
+            rsum = s if rsum is None else rsum + s
+        return acc, rsum
+
+    if stride == 1:
+        # all bn images feed one dot per tap (max MXU M-fill)
+        acc = rsum = None
+        for ky in range(kh):
+            for kx in range(kw):
+                tap_dot.k = ky * kw + kx
+                xs = x_vmem[slot, :, pl.ds(ky, th), pl.ds(kx, ow), :]
+                acc, rsum = tap_dot(xs, bn * th * ow, acc, rsum)
+        r = r_ref[:].reshape(bn * th * ow, n_c2) if res is not None else None
+        val = requant_block(acc, rsum, r).reshape(bn, th, ow, -1)
+        o_ref[:] = val[:, :, : o_ref.shape[2], :]
+    else:
+        for b in range(bn):
+            acc = rsum = None
+            for ky in range(kh):
+                for kx in range(kw):
+                    tap_dot.k = ky * kw + kx
+                    # rows: contiguous 2*th load, split major axis, phase 0;
+                    # cols: pre-deinterleaved into x[.., p, ..] by the wrapper
+                    kxw = kx // 2 + ow
+                    a = x_vmem[slot, b, pl.ds(ky, 2 * th), :, pl.ds(0, kxw), :]
+                    a = a.reshape(th, 2, 2, kxw, C)[:, 0]
+                    xs = a[:, kx % 2, kx // 2 : kx // 2 + ow, :]
+                    acc, rsum = tap_dot(xs, th * ow, acc, rsum)
+            r = r_ref[b].reshape(th * ow, n_c2) if res is not None else None
+            val = requant_block(acc, rsum, r).reshape(th, ow, -1)
+            o_ref[b] = val[:, : o_ref.shape[2], :]
+
+
+def _pick_tiles(N, OH, OW, C, C2e, n_c2, in_per_row_bytes, kh_eff, stride):
+    """Row-tile (th) and batch-tile (bn): keep VMEM (double-buffered input
+    halo scratch + double-buffered out block + int32 accumulator + one tap
+    slice) within budget while minimizing grid steps (per-step overhead)."""
+    budget = 10 * 1024 * 1024
+    th = OH
+    bn = 1
+
+    def vmem(bn, th):
+        in_rows = th * stride + kh_eff - 1
+        # stride 1 merges all bn images into one dot -> acc/slice scale by bn
+        am = bn if stride == 1 else 1
+        return (
+            2 * bn * in_rows * in_per_row_bytes  # x scratch (2 slots)
+            + 2 * bn * th * OW * n_c2            # out block (pallas 2 slots)
+            + am * th * OW * (4 * C2e + 2 * C)   # acc + tap slice (+shift)
+        )
+
+    # shrink th until it fits, then grow bn while it still fits (fewer steps)
+    while vmem(bn, th) > budget and th > 4:
+        th2 = th // 2
+        while OH % th2:
+            th2 -= 1
+        th = th2
+    while bn < N and N % (bn * 2) == 0 and vmem(bn * 2, th) <= budget and bn * 2 <= 16:
+        bn *= 2
+    return bn, th
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "kh", "kw", "stride", "pad_t", "pad_b", "pad_l", "pad_r", "zp_in",
+        "cw", "act", "inv_s_out", "zp_out", "lo", "hi", "out_dtype", "res",
+    ),
+)
+def qconv_direct(
+    x,          # [N, H, W, C] uint8/int8 (raw quantized activations)
+    w,          # [kh*kw, C, C2e] int8: per-tap [C, C2], pre-shifted if u8,
+                #   plus an all-ones extra column block when cw != 0
+    mult,       # [C2] fp32 requant multiplier s_in*s_w/s_out
+    bias,       # [C2] fp32 (zp corrections + conv bias)*mult + zp_out
+    residual=None,  # [N, OH, OW, C2] same-dtype quantized residual to add
+    res=None,   # static (s_mid, zp_mid, s_r, zp_r, s_out2, zp_out2)
+    kh: int = 3,
+    kw: int = 3,
+    stride: int = 1,
+    pad_t: int = 0,
+    pad_b: int = 0,
+    pad_l: int = 0,
+    pad_r: int = 0,
+    zp_in: int = 0,
+    cw: int = 0,
+    act: Optional[int] = -1,
+    inv_s_out: float = 1.0,
+    zp_out: int = 0,
+    lo: int = -127,
+    hi: int = 127,
+    out_dtype: str = "int8",
+):
+    N, H, W, C = x.shape
+    C2e = w.shape[-1]
+    n_c2 = mult.shape[0]
+    out_jnp = jnp.int8 if out_dtype == "int8" else jnp.uint8
+    shift_in = x.dtype == jnp.uint8
+
+    OH = (H + pad_t + pad_b - kh) // stride + 1
+    OW = (W + pad_l + pad_r - kw) // stride + 1
+    # Mosaic reshapes (th*ow, C) <-> (th, ow, C) need ow % 8 == 0: compute a
+    # few garbage output columns and slice them off at the end
+    OWp = _ru(OW, 8)
+
+    kh_eff = kh
+    if stride == 1:
+        wp = _ru(max(W + pad_l + pad_r, OWp + kw - 1), 8)
+        xp = jnp.pad(
+            x,
+            ((0, 0), (pad_t, pad_b), (pad_l, wp - W - pad_l), (0, 0)),
+            constant_values=zp_in,
+        )
+        in_per_row_bytes = wp * C
+        row_shape = (wp, C)
+    else:
+        # stride 2: over-pad rows so every [ky, ky+2*th) window is in bounds,
+        # and deinterleave columns into even/odd phases
+        hp = 2 * OH + kh_eff
+        wp2 = _ru(kw // 2 + OWp + 1, 8)
+        xp = jnp.pad(
+            x,
+            ((0, 0), (pad_t, hp - H - pad_t), (pad_l, 2 * wp2 - W - pad_l), (0, 0)),
+            constant_values=zp_in,
+        )
+        xp = xp.reshape(N, hp, wp2, 2, C).transpose(0, 1, 3, 2, 4)
+        in_per_row_bytes = 2 * wp2 * C
+        row_shape = (2, wp2, C)
+
+    bn, th = _pick_tiles(N, OH, OWp, C, C2e, n_c2, in_per_row_bytes, kh_eff, stride)
+    in_rows = th * stride + kh_eff - 1
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.MemorySpace.HBM),
+        pl.BlockSpec((kh * kw, C, C2e), lambda n, i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_c2), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_c2), lambda n, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [xp, w, mult.reshape(1, -1), bias.reshape(1, -1)]
+    if residual is not None:
+        # residual streams through the same block tiling as the output
+        in_specs.append(
+            pl.BlockSpec((bn, th, OWp, n_c2), lambda n, i: (n, i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(residual)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qconv_kernel,
+            kh=kh, kw=kw, stride=stride, bn=bn, th=th, ow=OWp,
+            shift_in=shift_in, cw=cw, act=act, inv_s_out=inv_s_out,
+            zp_out=zp_out, lo=lo, hi=hi, out_jnp=out_jnp, n_c2=n_c2,
+            res=res,
+        ),
+        grid=(N // bn, OH // th),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (bn, th, OW, n_c2), lambda n, i: (n, i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((N, OH, OW, n_c2), out_jnp),
+        scratch_shapes=[
+            pltpu.VMEM((2, bn, in_rows) + row_shape, x.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * OH * OWp * kh * kw * C * n_c2,
+            bytes_accessed=N * (H * W * C + OH * OWp * n_c2),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return out
+
+
+def pack_qconv_weights(
+    w_oihw: np.ndarray,  # [O, C, kh, kw] int8 or uint8 (tmfile layout)
+    is_u8: bool,
+    with_ones_col: bool,
+) -> np.ndarray:
+    """Host-side repack: [O,C,kh,kw] -> [kh*kw, C, C2e] int8, re-centered by
+    -128 when the source is uint8; with_ones_col appends a lane-aligned
+    128-wide column block whose first column is all ones, so the MXU computes
+    the per-pixel receptive-field rowsum (uint8 zero-point correction)."""
+    O, C, kh, kw = w_oihw.shape
+    t = w_oihw.transpose(2, 3, 1, 0).reshape(kh * kw, C, O)  # [taps, C, O]
+    if is_u8:
+        t = (t.astype(np.int16) - 128).astype(np.int8)
+    else:
+        t = t.astype(np.int8)
+    if with_ones_col:
+        c2a = _ru(O, 128)
+        ext = np.zeros((kh * kw, C, c2a - O + 128), np.int8)
+        ext[:, :, c2a - O] = 1  # global column index c2a = the rowsum column
+        t = np.concatenate([t, ext], axis=2)
+    return np.ascontiguousarray(t)
+
+
+# ---------------------------------------------------------------------------
+# 1x1 convolution as a flat GEMM (BlockSpec-pipelined — no manual DMA, so any
+# channel count works; M = N·OH·OW with zero tile waste). Residual fusion and
+# numerics identical to the k×k kernel above.
+# ---------------------------------------------------------------------------
+
+
+def _qconv1x1_kernel(
+    x_ref, w_ref, m_ref, b_ref, *rest,
+    shift_in, cw, act, inv_s_out, zp_out, lo, hi, out_jnp, n_c2, res,
+):
+    if res is not None:
+        r_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    x = x_ref[:]
+    if shift_in:
+        x = (x.astype(jnp.int32) - 128).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x, w_ref[0], (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    accf = acc[:, :n_c2].astype(jnp.float32)
+    if cw != 0:
+        if w_ref.shape[-1] > n_c2:
+            c2a = (n_c2 + 127) // 128 * 128
+            accf = accf + cw * acc[:, c2a : c2a + 1].astype(jnp.float32)
+        else:
+            rsum = jnp.sum(x.astype(jnp.int32), axis=1, keepdims=True)
+            accf = accf + cw * rsum.astype(jnp.float32)
+    q = accf * m_ref[0][None, :] + b_ref[0][None, :]
+    t = _requant_store(q, act, inv_s_out, zp_out, lo, hi, jnp.float32)
+    if res is None:
+        o_ref[:] = t.astype(jnp.int32).astype(out_jnp)
+        return
+    s_mid, zp_mid, s_r, zp_r, s_out2, zp_out2, relu2 = res
+    tf = (t - zp_mid) * s_mid
+    rf = (r_ref[:].astype(jnp.float32) - zp_r) * s_r
+    y = _round_away((tf + rf) / s_out2) + zp_out2
+    if relu2:
+        y = jnp.maximum(y, float(zp_out2))
+    o_ref[:] = jnp.clip(y, lo, hi).astype(jnp.int32).astype(out_jnp)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cw", "act", "inv_s_out", "zp_out", "lo", "hi", "out_dtype", "res",
+    ),
+)
+def qconv1x1(
+    x,          # [M, C] uint8/int8 (flattened N·OH·OW rows)
+    w,          # [1, C, C2e] int8 (pack_qconv_weights of the 1x1 conv)
+    mult,       # [C2] fp32
+    bias,       # [C2] fp32
+    residual=None,  # [M, C2] same-dtype quantized residual
+    res=None,
+    cw: int = 0,
+    act: Optional[int] = -1,
+    inv_s_out: float = 1.0,
+    zp_out: int = 0,
+    lo: int = -127,
+    hi: int = 127,
+    out_dtype: str = "int8",
+):
+    M, C = x.shape
+    C2e = w.shape[-1]
+    n_c2 = mult.shape[0]
+    out_jnp = jnp.int8 if out_dtype == "int8" else jnp.uint8
+    shift_in = x.dtype == jnp.uint8
+
+    # M tile: VMEM budget over x block + double-buffered out + int32 acc (+r);
+    # the grid may end with a partial block (pallas masks the overhang)
+    budget = 10 * 1024 * 1024
+    tm = 1 << 14
+    while tm > 256 and tm * (C + 4 * C2e + 3 * n_c2) > budget:
+        tm //= 2
+    steps = (M + tm - 1) // tm
+
+    in_specs = [
+        pl.BlockSpec((tm, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, C2e), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, n_c2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, w, mult.reshape(1, -1), bias.reshape(1, -1)]
+    if residual is not None:
+        in_specs.append(pl.BlockSpec((tm, n_c2), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(residual)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _qconv1x1_kernel,
+            shift_in=shift_in, cw=cw, act=act, inv_s_out=inv_s_out,
+            zp_out=zp_out, lo=lo, hi=hi, out_jnp=out_jnp, n_c2=n_c2, res=res,
+        ),
+        grid=(steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, n_c2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, n_c2), out_jnp),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * C * n_c2,
+            bytes_accessed=M * (C + n_c2),
+            transcendentals=0,
+        ),
+        interpret=jax.default_backend() == "cpu",
+    )(*args)
+    return out

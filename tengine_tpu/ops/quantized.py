@@ -48,6 +48,12 @@ def _fast_enabled(ctx: LowerCtx) -> bool:
     )
 
 
+def _no_fused_add(ctx: LowerCtx) -> bool:
+    # nodes carrying a fused residual add (fuse_conv_add pass) are only
+    # lowerable by the pallas qconv kernel
+    return "fused_add_pos" not in ctx.params
+
+
 def _wscales(quant: QuantParam, out_c: int) -> np.ndarray:
     s = np.asarray(quant.scales, np.float32).reshape(-1)
     if s.size == 1:
@@ -164,12 +170,142 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack):
     return nhwc(out)
 
 
+def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
+    """qconv_direct (ops/pallas/qconv.py) — k×k int8 MXU direct conv with
+    fused requant, raw 1-byte activation streaming. Needs: integer storage
+    mode, group 1, dilation 1, stride 1/2, C % 128 == 0 (the manual halo DMA
+    slices HBM lanes, which Mosaic requires 128-aligned)."""
+    if (
+        not _fast_enabled(ctx)
+        or not ctx.options.pallas_qconv
+        or ctx.options.quant_bf16_storage  # kernel wants int operands
+    ):
+        return False
+    p = ctx.params
+    t_w = ctx.in_tensor(1)
+    in_c = int(t_w.shape[1])
+    k1 = p["kernel_h"] == 1 and p["kernel_w"] == 1
+    return (
+        p["group"] == 1
+        and p["dilation_h"] == 1
+        and p["dilation_w"] == 1
+        and p["stride_h"] == p["stride_w"]
+        and p["stride_h"] in (1, 2)
+        and p["kernel_h"] * p["kernel_w"] <= 49
+        # 1x1 convs run as a flat GEMM (BlockSpec-tiled, any channel count);
+        # k>1 uses the manual halo DMA, which needs 128-aligned lanes
+        and (k1 or in_c % 128 == 0)
+    )
+
+
+@register_op("Convolution", score=SCORE_STATIC + 1, predicate=_pallas_qconv_ok, quant=True)
+def lower_conv_quant_pallas_direct(ctx: LowerCtx, x: TArr, *rest: TArr):
+    """Direct k×k conv on the int8 MXU (k² shifted dots, fused requant);
+    optionally with a fused residual eltwise-sum (fuse_conv_add pass)."""
+    from .pallas.qconv import pack_qconv_weights, qconv1x1, qconv_direct
+
+    p = ctx.params
+    fused_pos = p.get("fused_add_pos")
+    t_in, t_w = ctx.in_tensor(0), ctx.in_tensor(1)
+    t_out = ctx.out_tensor(0)
+    # the conv's own requant targets the pre-add intermediate tensor when the
+    # residual add is fused
+    t_mid = ctx.graph.tensors[p["fused_add_mid"]] if fused_pos is not None else t_out
+    has_bias = (fused_pos == 3) if fused_pos is not None else (ctx.num_inputs > 2)
+    kh, kw, s = p["kernel_h"], p["kernel_w"], p["stride_h"]
+    out_c, in_c = int(t_w.shape[0]), int(t_w.shape[1])
+
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+    w_scales = _wscales(t_w.quant, out_c)
+    s_mid = float(np.asarray(t_mid.quant.scales).reshape(-1)[0])
+    zp_mid = int(np.asarray(t_mid.quant.zero_points).reshape(-1)[0])
+
+    is_u8 = t_in.dtype == DType.UINT8
+    if is_u8:
+        zp_w = int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
+        cx, cw = 128 - zp_in, 128 - zp_w
+    else:
+        cx = cw = 0
+    # MXU ones-column rowsum pays ~128/C2 extra lanes; below 256 out-channels
+    # the VPU rowsum is cheaper
+    ones_col = bool(cw) and out_c >= 256
+
+    w = ctx.get_param(
+        "qconv_w", lambda: pack_qconv_weights(ctx.const_data(1), is_u8, ones_col)
+    )
+    M = ctx.get_param("qconv_m", lambda: (s_in * w_scales / s_mid).astype(np.float32))
+
+    def bvec():
+        if is_u8:
+            wsh = ctx.const_data(1).astype(np.int32) - 128
+            colsum = wsh.sum(axis=(1, 2, 3))
+            K = in_c * kh * kw
+            b0 = cx * colsum + K * cx * cw
+        else:
+            b0 = np.zeros(out_c, np.int64)
+        if has_bias:
+            b0 = b0 + ctx.const_data(2).astype(np.int64)
+        m = s_in * w_scales / s_mid
+        return (b0.astype(np.float64) * m + zp_mid).astype(np.float32)
+
+    B = ctx.get_param("qconv_b", bvec)
+
+    res = None
+    residual = None
+    if fused_pos is not None:
+        t_r = ctx.in_tensor(fused_pos)
+        s_r = float(np.asarray(t_r.quant.scales).reshape(-1)[0])
+        zp_r = int(np.asarray(t_r.quant.zero_points).reshape(-1)[0])
+        s_out2 = float(np.asarray(t_out.quant.scales).reshape(-1)[0])
+        zp_out2 = int(np.asarray(t_out.quant.zero_points).reshape(-1)[0])
+        res = (s_mid, zp_mid, s_r, zp_r, s_out2, zp_out2,
+               bool(p.get("fused_add_relu")))
+        residual = as_nhwc(rest[fused_pos - 1])
+
+    xn = as_nhwc(x)
+    if kh == 1 and kw == 1 and s == 2:
+        # pointwise stride-2 (resnet downsample): pre-subsample is cheaper
+        # than the kernel's column phase-split
+        xn = xn[:, ::2, ::2, :]
+        s = 1
+    n, in_h, in_w, _ = xn.shape
+    pads = _conv_pads(in_h, in_w, p, kh, kw)
+    (pt, pb), (pl_, pr) = pads[0], pads[1]
+    common = dict(
+        res=res,
+        cw=cw,
+        act=p.get("activation", -1),
+        inv_s_out=1.0 / s_mid, zp_out=zp_mid,
+        lo=qmath.QRANGE[t_out.dtype][0], hi=qmath.QRANGE[t_out.dtype][1],
+        out_dtype="uint8" if t_out.dtype == DType.UINT8 else "int8",
+    )
+    if kh == 1 and kw == 1 and s == 1 and not (pt or pb or pl_ or pr):
+        out = qconv1x1(
+            xn.reshape(n * in_h * in_w, in_c), w, M, B,
+            residual=None if residual is None
+            else residual.reshape(n * in_h * in_w, out_c),
+            **common,
+        )
+        return nhwc(out.reshape(n, in_h, in_w, out_c))
+    out = qconv_direct(
+        xn, w, M, B,
+        residual=residual,
+        kh=kh, kw=kw, stride=s,
+        pad_t=int(pt), pad_b=int(pb), pad_l=int(pl_), pad_r=int(pr),
+        zp_in=zp_in,
+        **common,
+    )
+    return nhwc(out)
+
+
 def _pallas_conv1x1_ok(ctx: LowerCtx) -> bool:
     """Pallas qgemm covers 1x1 convs (pointwise — the FLOPs majority of the
     mobilenet/resnet-family nets): group 1, no padding, any stride (handled
     by pre-subsampling)."""
     if (
         not _fast_enabled(ctx)
+        or not _no_fused_add(ctx)
         or not ctx.options.pallas_qgemm
         or ctx.options.quant_bf16_storage  # qgemm kernel wants int operands
     ):
@@ -326,7 +462,12 @@ def lower_fc_quant_pallas(ctx: LowerCtx, x: TArr, *rest: TArr):
     return nchw(out)
 
 
-@register_op("Convolution", score=SCORE_BEST, predicate=_fast_enabled, quant=True)
+@register_op(
+    "Convolution",
+    score=SCORE_BEST,
+    predicate=lambda c: _fast_enabled(c) and _no_fused_add(c),
+    quant=True,
+)
 def lower_conv_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
     t_in = ctx.in_tensor(0)
     integer_lhs = t_in.dtype == DType.INT8 and _native_int_ok()
@@ -334,7 +475,12 @@ def lower_conv_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
     return _requant_conv_out(ctx, acc, pack)
 
 
-@register_op("Convolution", score=SCORE_CANDO, predicate=node_is_quant, quant=True)
+@register_op(
+    "Convolution",
+    score=SCORE_CANDO,
+    predicate=lambda c: node_is_quant(c) and _no_fused_add(c),
+    quant=True,
+)
 def lower_conv_quant_ref(ctx: LowerCtx, x: TArr, *rest: TArr):
     """Reference semantics: dequant -> fp32 conv -> activation -> requant
     (conv_kernel_ref_uint8.c:67-177 / conv_kernel_ref_int8.c)."""

@@ -70,14 +70,27 @@ class Options:
     # resnet50 int8 b64 7.7k -> 8.6k img/s (v5e). Default on; disable to use
     # the integer-operand Pallas paths (pallas_qgemm / fuse_dwpw).
     quant_bf16_storage: bool = True
-    # Fuse quantized dw3x3+pw1x1 pairs into the single Pallas block kernel
-    # (ops/pallas/fused_dwpw.py) that keeps the depthwise intermediate in
-    # VMEM. Opt-in: measured on v5e (mobilenet-v1 uint8, batch 128) the
-    # XLA pipeline wins (4.2 ms vs 18.2 ms) — the kernel's per-step manual
-    # DMA isn't double-buffered and its per-(batch, row-tile) grid pays
-    # ~1-2 us/step over 1792 steps, which swamps the saved mid-tensor HBM
-    # round trip. Kept as the correctness-proven base (<=1 LSB vs unfused)
-    # for a future batch-tiled, pipelined revision.
+    # Direct k×k int8 MXU conv (ops/pallas/qconv.py) for quantized convs
+    # when activations are stored as raw integers (quant_bf16_storage=False):
+    # k² shifted int8 MXU dots with fused (double-)requantization, fused
+    # residual adds (fuse_conv_add pass), uint8 zero-point corrections via an
+    # MXU ones-column, 1-byte activation streaming. Bit-exact with the
+    # unfused chain (verified on resnet50). On v5e it reaches ~80% of the
+    # bf16-storage XLA path end-to-end (resnet50 int8 b32: 4.4 ms vs 3.6 ms
+    # — the remaining gap is XLA<->pallas layout copies at the C<128
+    # boundary layers), so the default path stays bf16; flip
+    # quant_bf16_storage=False to use it.
+    pallas_qconv: bool = True
+    # Fuse quantized dw3x3+pw1x1 pairs into a single Pallas block kernel
+    # that keeps the depthwise intermediate in VMEM. Under the default bf16
+    # storage this selects the bf16-domain kernel (ops/pallas/fused_dwpw2.py,
+    # C % 128 == 0 blocks); under integer storage the int8-operand original
+    # (ops/pallas/fused_dwpw.py). Opt-in: measured on v5e (mobilenet-v1
+    # uint8 b128) XLA's fused dw pipeline still wins (2.9 ms vs 6.3 ms) —
+    # Mosaic's misaligned-sublane tap slices cost a tile relayout per tap,
+    # which exceeds the saved mid-tensor HBM round trip. The kernels are
+    # correctness-proven (<=1 LSB) and kept as the base for a revision that
+    # keeps both spatial dims in untiled axes.
     fuse_dwpw: bool = False
 
     @classmethod

@@ -192,17 +192,16 @@ def test_fuse_pass_end_to_end(scheme, rng):
     (unfused,) = compile_graph(qg, Options(fuse_dwpw=False, **opts)).run(xq)
     (ref_unfused,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
 
-    import copy
-
-    qg2 = copy.deepcopy(qg)
-    cg = compile_graph(qg2, Options(fuse_dwpw=True, **opts))
-    assert sum(1 for n in qg2.nodes if n.op == "FusedDwPwConv") == 2
+    cg = compile_graph(qg, Options(fuse_dwpw=True, **opts))
+    # compile_graph rewrites a per-compile clone (cg.graph), never the input
+    assert sum(1 for n in qg.nodes if n.op == "FusedDwPwConv") == 0
+    assert sum(1 for n in cg.graph.nodes if n.op == "FusedDwPwConv") == 2
     (fused,) = cg.run(xq)
     diff = np.abs(fused.astype(np.int32) - unfused.astype(np.int32))
     assert diff.max() <= 1, f"fused-vs-unfused max LSB diff {diff.max()}"
 
     # ref mode on the already-fused graph reproduces the unfused ref path
-    (ref_fused,) = compile_graph(qg2, Options(quant_mode="ref")).run(xq)
+    (ref_fused,) = compile_graph(cg.graph, Options(quant_mode="ref")).run(xq)
     np.testing.assert_array_equal(ref_fused, ref_unfused)
 
 
