@@ -104,6 +104,30 @@ def bench_model_uint8(name, batch):
     return bench_model_quant(name, batch, scheme="uint8")
 
 
+def bench_yolov5s(batch=8, img=640):
+    """BASELINE.json config 4: YOLOv5s 640x640 INT8 (focus/SiLU/upsample)."""
+    import jax
+    import tengine_tpu as tt
+    from tengine_tpu.models.yolov5 import build_yolov5s_graph
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+
+    rng = np.random.default_rng(0)
+    _, g = build_yolov5s_graph(num_classes=80, img=img)
+    calib = [rng.standard_normal((1, 3, img, img)).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+    cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = jax.device_put(
+        qmath.quantize_np(
+            np.broadcast_to(calib[0], (batch, 3, img, img)), t_in.quant, t_in.dtype
+        )
+    )
+    ms = measure_device_ms(lambda: cg(xq), _sync_out, n=21)
+    return ms, batch / (ms / 1e3)
+
+
 def main():
     model = "mobilenetv1"
     # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md) => 31.2 img/s.
@@ -124,9 +148,9 @@ def main():
 
     # secondary BASELINE.json configs (stderr only)
     try:
-        r50_ms, r50_ips = bench_model_quant("resnet50", batch=32, scheme="int8", algorithm="kl")
+        r50_ms, r50_ips = bench_model_quant("resnet50", batch=128, scheme="int8", algorithm="kl")
         print(
-            f"[bench] resnet50 int8(KL): {r50_ips:.0f} img/s (batch 32) "
+            f"[bench] resnet50 int8(KL): {r50_ips:.0f} img/s (batch 128) "
             f"vs baseline {1000/174.66:.1f} img/s -> {r50_ips/(1000/174.66):.0f}x",
             file=sys.stderr,
         )
@@ -134,6 +158,12 @@ def main():
         print(
             f"[bench] mssd uint8 (incl. NMS): {mssd_ips:.0f} img/s (batch 8) "
             f"vs baseline {1000/66.67:.1f} img/s -> {mssd_ips/(1000/66.67):.0f}x",
+            file=sys.stderr,
+        )
+        y5_ms, y5_ips = bench_yolov5s(batch=8)
+        print(
+            f"[bench] yolov5s 640 int8: {y5_ips:.0f} img/s (batch 8), "
+            f"{y5_ms/8:.3f} ms/img device time",
             file=sys.stderr,
         )
     except Exception as e:

@@ -237,7 +237,34 @@ def from_torch(model, example_input) -> Graph:
                 env[node.name] = emit("Transpose", name, [arg_idx(node.args[0])],
                                       dict(perm=order))[0]
             elif fn == getattr(operator, "getitem", None):
-                raise NotImplementedError("tensor slicing in traced torch model")
+                # tensor slicing x[..., a:b:s, ...] -> StridedSlice
+                # (strided_slice.c param layout: begin/end/stride per NCHW dim)
+                index = node.args[1]
+                if not isinstance(index, tuple):
+                    index = (index,)
+                # expand Ellipsis to full slices over a 4-D NCHW tensor
+                n_explicit = sum(1 for i in index if i is not Ellipsis)
+                idx: List[Any] = []
+                for i in index:
+                    if i is Ellipsis:
+                        idx.extend([slice(None)] * (4 - n_explicit))
+                    else:
+                        idx.append(i)
+                while len(idx) < 4:
+                    idx.append(slice(None))
+                if len(idx) != 4 or not all(isinstance(i, slice) for i in idx):
+                    raise NotImplementedError(
+                        f"unsupported torch getitem index {node.args[1]!r} "
+                        "(only 4-D slice indexing)"
+                    )
+                params = {}
+                for dname, s in zip("nchw", idx):
+                    params[f"begin_{dname}"] = int(s.start or 0)
+                    params[f"end_{dname}"] = int(s.stop or 0)  # 0 = to-end
+                    params[f"stride_{dname}"] = int(s.step or 1)
+                env[node.name] = emit(
+                    "StridedSlice", name, [arg_idx(node.args[0])], params
+                )[0]
             else:
                 raise NotImplementedError(f"torch function {fn} in traced graph")
 

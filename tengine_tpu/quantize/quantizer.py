@@ -117,11 +117,17 @@ def quantize_graph(
             if w_scales.size == 1:
                 w_scales = np.full((bt.data.size,), w_scales[0], np.float32)
             b_scales = s_in * w_scales
-            bt.data = np.clip(
-                qmath.round_away_np(bt.data.astype(np.float32) / b_scales),
-                -(2**31) + 1,
-                2**31 - 1,
-            ).astype(np.int32)
+            # float64 throughout: in float32 the clip bound 2^31-1 rounds UP
+            # to 2^31 and the int32 cast overflows for saturated biases.
+            # zero scales (all-zero weight channel) contribute 0 downstream
+            # (requant multiplier is 0 too), so store bias 0 there.
+            safe = np.where(b_scales == 0.0, 1.0, b_scales).astype(np.float64)
+            bq = qmath.round_away_np(bt.data.astype(np.float64) / safe)
+            bt.data = (
+                np.where(b_scales == 0.0, 0.0, np.clip(bq, float(-(2**31) + 1), float(2**31 - 1)))
+                .astype(np.int64)
+                .astype(np.int32)
+            )
             bt.dtype = DType.INT32
             bt.quant = QuantParam(
                 scales=b_scales.astype(np.float32),

@@ -1,0 +1,69 @@
+"""YOLOv5s (BASELINE.json config 4) — fp32 parity vs the torch oracle and
+quantized-run agreement. Small input (64x64) keeps the CPU-backend suite
+fast; the arch is identical at 640 (fully convolutional)."""
+
+import numpy as np
+import pytest
+
+import tengine_tpu as tt
+from tengine_tpu.utils.config import Options
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def y5():
+    from tengine_tpu.models.yolov5 import build_yolov5s_graph
+
+    m, g = build_yolov5s_graph(num_classes=80, img=64)
+    return m, g
+
+
+def test_yolov5s_fp32_matches_torch(y5):
+    m, g = y5
+    x = torch.from_numpy(
+        np.random.default_rng(0).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    )
+    with torch.no_grad():
+        expected = [o.numpy() for o in m(x)]
+    outs = tt.compile_graph(g, Options(precision="fp32")).run(x.numpy())
+    assert len(outs) == 3
+    for got, exp in zip(outs, expected):
+        np.testing.assert_allclose(
+            got.reshape(exp.shape), exp, rtol=2e-3, atol=2e-3
+        )
+
+
+def test_yolov5s_focus_strided_slice(y5):
+    _, g = y5
+    ops = {n.op for n in g.nodes}
+    # the focus slices stay in-graph (no offline surgery needed on TPU)
+    assert "StridedSlice" in ops and "Upsample" in ops and "Concat" in ops
+
+
+def test_yolov5s_int8_agreement(y5):
+    from tengine_tpu.quantize.quantizer import quantize_graph
+
+    m, g = y5
+    rng = np.random.default_rng(1)
+    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32) for _ in range(2)]
+    qg = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+
+    x = calib[0]
+    fp = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    from tengine_tpu.ops import qmath
+
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(x, t_in.quant, t_in.dtype)
+    qres = tt.compile_graph(qg, Options(quant_mode="fast")).run(xq)
+    for tid, got in zip(
+        [qg.nodes[i].outputs[0] for i in qg.outputs], qres
+    ):
+        t = qg.tensors[tid]
+        deq = qmath.dequantize_np(np.asarray(got, np.float32), t.quant)
+        ref = fp[[qg.nodes[i].outputs[0] for i in qg.outputs].index(tid)]
+        cos = np.dot(deq.ravel(), ref.ravel()) / (
+            np.linalg.norm(deq) * np.linalg.norm(ref) + 1e-9
+        )
+        # per-layer cosine gate, like the reference quant tools' Step Evaluate
+        assert cos > 0.95, f"head {t.name} cosine {cos:.4f}"
