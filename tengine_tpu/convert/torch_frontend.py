@@ -84,7 +84,26 @@ def from_torch(model, example_input) -> Graph:
             xin = env[node.args[0].name]
             name = node.target.replace(".", "/")
 
-            if isinstance(m, nn.Conv2d):
+            if isinstance(m, nn.ConvTranspose2d):
+                # torch weight layout [in_c, out_c/group, kh, kw] == the
+                # tmfile deconv IOHW layout (deconvolution.c) — no repack
+                w = m.weight.detach().numpy()
+                ins = [xin, const(f"{name}/w", w)]
+                if m.bias is not None:
+                    ins.append(const(f"{name}/b", m.bias.detach().numpy()))
+                env[node.name] = emit(
+                    "Deconvolution", name, ins,
+                    dict(kernel_h=m.kernel_size[0], kernel_w=m.kernel_size[1],
+                         stride_h=m.stride[0], stride_w=m.stride[1],
+                         dilation_h=m.dilation[0], dilation_w=m.dilation[1],
+                         num_output=m.out_channels, group=m.groups,
+                         activation=-1,
+                         pad_h0=m.padding[0], pad_h1=m.padding[0],
+                         pad_w0=m.padding[1], pad_w1=m.padding[1],
+                         output_pad_h0=m.output_padding[0],
+                         output_pad_w0=m.output_padding[1]),
+                )[0]
+            elif isinstance(m, nn.Conv2d):
                 w = m.weight.detach().numpy()
                 ins = [xin, const(f"{name}/w", w)]
                 if m.bias is not None:

@@ -135,10 +135,14 @@ def lower_conv(ctx: LowerCtx, x: TArr, *rest: TArr):
     return nhwc(out.astype(dt) if dt != jnp.float32 else out)
 
 
-@register_op("Deconvolution", predicate=node_is_float)
+@register_op("Deconvolution")
 def lower_deconv(ctx: LowerCtx, x: TArr, *rest: TArr):
     """Transposed conv (deconvolution.c infer_shape):
-    out = (in - 1) * stride + out_pad + k_eff - pad0 - pad1."""
+    out = (in - 1) * stride + out_pad + k_eff - pad0 - pad1.
+
+    Also serves quantized graphs (deconv_ref uint8 semantics): the engine's
+    generic wrapper dequantizes the activation and requantizes the output;
+    quantized weights/bias are dequantized host-side here."""
     p = ctx.params
     dil_h, dil_w = p["dilation_h"], p["dilation_w"]
     group = p["group"]
@@ -148,6 +152,11 @@ def lower_deconv(ctx: LowerCtx, x: TArr, *rest: TArr):
     # forward conv with feature_group_count=g, HWOI needs O=out_c (group-
     # major) and I=in_c/g: reshape the group axis out of I and into O.
     def repack_deconv(a: np.ndarray) -> np.ndarray:
+        t_w = ctx.in_tensor(1)
+        if t_w.quant is not None and not np.issubdtype(a.dtype, np.floating):
+            from . import qmath
+
+            a = qmath.dequantize_np(a, t_w.quant, channel_axis=0)
         in_c, ocg, akh, akw = a.shape
         a = a.reshape(group, in_c // group, ocg, akh, akw)
         a = np.transpose(a, (3, 4, 0, 2, 1))  # kh,kw,g,O/g,I/g
@@ -174,7 +183,17 @@ def lower_deconv(ctx: LowerCtx, x: TArr, *rest: TArr):
         precision=mxu_precision(ctx),
     )
     if ctx.num_inputs > 2:
-        out = out + ctx.weight(2).astype(jnp.float32)
+
+        def bias_f():
+            t_b = ctx.in_tensor(2)
+            b = t_b.data
+            if t_b.quant is not None and not np.issubdtype(b.dtype, np.floating):
+                from . import qmath
+
+                return qmath.dequantize_np(b, t_b.quant, channel_axis=0)
+            return b.astype(np.float32)
+
+        out = out + ctx.get_param("bias_deq", bias_f)
     out = apply_activation(out, p.get("activation", -1))
     return nhwc(out)
 
