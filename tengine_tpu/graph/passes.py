@@ -115,6 +115,67 @@ def fuse_activation(g: Graph) -> int:
     return fuses
 
 
+def fuse_silu(g: Graph) -> int:
+    """Fuse Conv -> Sigmoid -> Mul(conv_out, sigmoid_out) into the conv's
+    activation field (ACT_SILU). The reference approximates this pattern
+    with OP_HARDSWISH at convert time (tools/optimize/yolov5s-opt.py); we
+    fuse the exact SiLU. In quantized graphs this removes two
+    requant/dequant round-trips per conv (the sigmoid/mul intermediates
+    disappear), which is both faster and more accurate."""
+    from ..ops.lowering import ACT_SILU
+    from ..serializer.tm2.format import ELT_PROD
+
+    fuses = 0
+    for conv in list(g.nodes):
+        if conv.op != "Convolution" or conv.params.get("activation", -1) >= 0:
+            continue
+        t0 = conv.outputs[0] if conv.outputs else None
+        if t0 is None or conv.idx in g.outputs:
+            continue
+        consumers = [
+            g.nodes[c]
+            for c in g.tensors[t0].consumers
+            if c < len(g.nodes) and t0 in g.nodes[c].inputs
+        ]
+        if len(consumers) != 2:
+            continue
+        sig = next((n for n in consumers if n.op == "Sigmoid"), None)
+        mul = next(
+            (
+                n
+                for n in consumers
+                if n.op == "BroadMul"
+                or (n.op == "Eltwise" and n.params.get("type") == ELT_PROD)
+            ),
+            None,
+        )
+        if sig is None or mul is None or sig.idx == mul.idx:
+            continue
+        if sig.idx in g.outputs:
+            continue
+        t1 = sig.outputs[0]
+        # sigmoid feeds only the mul; mul multiplies exactly {t0, t1}
+        if [c for c in g.tensors[t1].consumers if t1 in g.nodes[c].inputs] != [mul.idx]:
+            continue
+        if sorted(mul.inputs) != sorted([t0, t1]):
+            continue
+        conv.params["activation"] = ACT_SILU
+        _replace_uses(g, mul.outputs[0], t0)
+        if mul.idx in g.outputs:
+            g.outputs = [conv.idx if o == mul.idx else o for o in g.outputs]
+        for n in (sig, mul):
+            n.op = "Noop"
+            n.inputs = []
+            n.outputs = []
+        g.tensors[t0].consumers = [
+            c for c in g.tensors[t0].consumers if c not in (sig.idx, mul.idx)
+        ]
+        fuses += 1
+    if fuses:
+        dce(g)
+    return fuses
+
+
 def dce(g: Graph) -> int:
     """Drop nodes whose outputs nothing consumes (and aren't graph outputs),
     and orphaned Noop shells left by fusion passes."""
@@ -360,5 +421,6 @@ def optimize(g: Graph) -> Graph:
     dce."""
     fold_batchnorm(g)
     fuse_activation(g)
+    fuse_silu(g)
     dce(g)
     return g

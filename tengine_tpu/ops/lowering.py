@@ -43,14 +43,22 @@ from ..serializer.tm2 import format as tmfmt
 # ---------------------------------------------------------------------------
 
 
+# fused-SiLU activation code — ours, beyond the reference's 0/1/6 clamp set
+# (the reference approximates yolov5 SiLU with OP_HARDSWISH after ONNX
+# surgery, yolov5s-opt.py; we fuse the exact x*sigmoid(x))
+ACT_SILU = 100
+
+
 def apply_activation(x: jnp.ndarray, act: int) -> jnp.ndarray:
     """Fused conv/eltwise activation clamp.
 
     Reference: conv_kernel_ref_fp32.c:112-127 — act 0 => relu, 1 => clamp to
-    [-1, 1], 6 => relu6; negative => none.
+    [-1, 1], 6 => relu6; negative => none. act 100 => SiLU (ours).
     """
     if act is None or act < 0:
         return x
+    if act == ACT_SILU:
+        return x * jax.nn.sigmoid(x)
     if act == 1:
         return jnp.clip(x, -1.0, 1.0)
     hi = float(act) if act > 0 else None

@@ -33,7 +33,7 @@ from jax import lax
 from ..graph.ir import DType, QuantParam
 from . import qmath
 from .layout import TArr, as_nhwc, as_semantic, nchw, nhwc
-from .lowering import _conv_pads, apply_activation
+from .lowering import ACT_SILU, _conv_pads, apply_activation
 from .registry import SCORE_BEST, SCORE_CANDO, SCORE_STATIC, LowerCtx, register_op
 
 
@@ -158,7 +158,10 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack):
     act = p.get("activation", -1)
     if act is not None and act >= 0:
         # clamp thresholds move into the pre-round domain (x/s_out)
-        if act == 1:
+        if act == ACT_SILU:
+            # silu(v)/s_out = (v/s_out) * sigmoid(v), v = q*s_out
+            q = q * jax.nn.sigmoid(q * s_out)
+        elif act == 1:
             q = jnp.clip(q, -1.0 / s_out, 1.0 / s_out)
         else:
             q = jnp.maximum(q, 0.0)
@@ -186,7 +189,8 @@ def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
     in_c = int(t_w.shape[1])
     k1 = p["kernel_h"] == 1 and p["kernel_w"] == 1
     return (
-        p["group"] == 1
+        p.get("activation", -1) != ACT_SILU  # pallas epilogue lacks silu
+        and p["group"] == 1
         and p["dilation_h"] == 1
         and p["dilation_w"] == 1
         and p["stride_h"] == p["stride_w"]
@@ -317,7 +321,8 @@ def _pallas_conv1x1_ok(ctx: LowerCtx) -> bool:
     # registers and the MXU contraction (measured 2.4 ms vs XLA 0.36 ms on
     # mobilenet conv2_1); leave those to the XLA path
     return (
-        p["kernel_h"] == 1
+        p.get("activation", -1) != ACT_SILU  # pallas epilogue lacks silu
+        and p["kernel_h"] == 1
         and p["kernel_w"] == 1
         and p["group"] == 1
         and p["pad_h0"] == 0

@@ -67,3 +67,17 @@ def test_yolov5s_int8_agreement(y5):
         )
         # per-layer cosine gate, like the reference quant tools' Step Evaluate
         assert cos > 0.95, f"head {t.name} cosine {cos:.4f}"
+
+
+def test_yolov5s_silu_fused(y5):
+    """All backbone/neck convs carry the fused SiLU (ACT_SILU); no
+    free-standing Sigmoid/BroadMul pairs survive except none at all."""
+    from tengine_tpu.ops.lowering import ACT_SILU
+
+    _, g = y5
+    n_silu = sum(
+        1 for n in g.nodes if n.op == "Convolution"
+        and n.params.get("activation") == ACT_SILU
+    )
+    assert n_silu > 50, n_silu
+    assert not any(n.op in ("Sigmoid", "BroadMul") for n in g.nodes)
