@@ -208,6 +208,49 @@ def dce(g: Graph) -> int:
     return removed
 
 
+def compact(g: Graph) -> Graph:
+    """Rebuild the graph without the Noop shells fusion passes leave behind
+    (and without the tensors nothing references any more), remapping node
+    and tensor indices densely. Serialization needs this: the reference
+    loader rejects nodes with no output ('node N has no output',
+    tm2_serializer.c)."""
+    ng = Graph(
+        layout=g.layout,
+        model_layout=g.model_layout,
+        name=g.name,
+        source_format=g.source_format,
+    )
+    keep = [n for n in g.nodes if not (n.op == "Noop" and not n.outputs)]
+    live_tensors: Set[int] = set()
+    for n in keep:
+        live_tensors.update(n.inputs)
+        live_tensors.update(n.outputs)
+
+    t_map: Dict[int, int] = {}
+    for t in g.tensors:
+        if t.idx not in live_tensors:
+            continue
+        nt = ng.add_tensor(
+            t.name, t.dtype, list(t.shape), t.tensor_type, data=t.data, quant=t.quant
+        )
+        nt.layout = t.layout
+        t_map[t.idx] = nt.idx
+
+    n_map: Dict[int, int] = {}
+    for n in keep:
+        nn = ng.add_node(
+            n.op,
+            n.name,
+            [t_map[i] for i in n.inputs],
+            [t_map[i] for i in n.outputs],
+            params=dict(n.params),
+        )
+        n_map[n.idx] = nn.idx
+    ng.inputs = [n_map[i] for i in g.inputs if i in n_map]
+    ng.outputs = [n_map[i] for i in g.outputs if i in n_map]
+    return ng
+
+
 def _is_dw3x3(g: Graph, n: Node) -> bool:
     """Depthwise 3x3, pad 1 on all sides (or stride-1 SAME), stride 1 or 2,
     no dilation — the envelope of the fused Pallas block kernel."""

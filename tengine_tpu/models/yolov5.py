@@ -187,18 +187,30 @@ def YOLOv5(num_classes: int = 80, width: float = 0.50, depth: float = 0.33):
 
 
 def build_yolov5s_graph(
-    num_classes: int = 80, img: int = 640, fold_bn: bool = True, batch: int = 1
+    num_classes: int = 80,
+    img: int = 640,
+    fold_bn: bool = True,
+    batch: int = 1,
+    fuse_silu: bool = True,
 ):
-    """torch YOLOv5s -> IR Graph (via the fx front-end) + the torch oracle."""
+    """torch YOLOv5s -> IR Graph (via the fx front-end) + the torch oracle.
+
+    fuse_silu=False keeps the explicit Sigmoid/Mul nodes — needed when the
+    graph is exported to a tmfile for the reference C engine, whose conv
+    kernels don't know our ACT_SILU epilogue code."""
     import torch
 
     from ..convert.torch_frontend import from_torch
-    from ..graph.passes import optimize
+    from ..graph import passes
 
     m = YOLOv5(num_classes=num_classes)
     ex = torch.zeros(batch, 3, img, img)
     g = from_torch(m, ex)
     g.name = "yolov5s"
     if fold_bn:
-        g = optimize(g)
+        passes.fold_batchnorm(g)
+        passes.fuse_activation(g)
+        if fuse_silu:
+            passes.fuse_silu(g)
+        passes.dce(g)
     return m, g

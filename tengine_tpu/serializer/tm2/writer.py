@@ -264,6 +264,12 @@ _NO_PARAM_OPS = {
 
 
 def graph_to_tm_bytes(graph: Graph) -> bytes:
+    if any(n.op == "Noop" and not n.outputs for n in graph.nodes):
+        # fusion passes leave dead Noop shells; the reference loader
+        # rejects output-less nodes — write a compacted graph instead
+        from ...graph.passes import compact
+
+        graph = compact(graph)
     b = Builder()
 
     # --- tensors + buffers ---

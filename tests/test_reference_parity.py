@@ -357,3 +357,24 @@ def run_reference_multi(tmfile, xs, tmp_path):
     )
     assert os.path.exists(out_npy), f"reference run failed:\n{r.stdout}\n{r.stderr}"
     return np.load(out_npy)
+
+
+def test_yolov5s_tmfile_runs_in_reference(tmp_path, rng):
+    """Full clean-room YOLOv5s written by our TM2 writer, executed by the
+    reference C engine (StridedSlice focus, Sigmoid/BroadMul SiLU, SPP
+    pooling, Upsample, PANet concats — 200+ nodes), vs our fp32 engine.
+    SiLU fusion is off: the reference conv kernels only know the 0/1/6
+    activation clamp set."""
+    from tengine_tpu.models.yolov5 import build_yolov5s_graph
+
+    _, g = build_yolov5s_graph(num_classes=80, img=64, fuse_silu=False)
+    x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
+    ours = _ours_multi(g, [x])
+    ref = run_reference(_save(g, tmp_path), x, tmp_path).reshape(ours.shape)
+    # 200+ fp32 layers of random (untrained) weights amplify summation-order
+    # differences between XLA and the reference's im2col+gemm; a fixed atol
+    # is the wrong yardstick. Gate on agreement relative to signal instead.
+    a, b = ours.ravel().astype(np.float64), ref.ravel().astype(np.float64)
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.9999, f"cosine {cos}"
+    assert np.abs(a - b).max() < 0.05 * b.std()
