@@ -128,6 +128,36 @@ def bench_yolov5s(batch=8, img=640):
     return ms, batch / (ms / 1e3)
 
 
+def bench_face_pipeline(max_faces=8):
+    """BASELINE.json config 5: RetinaFace + MobileFaceNet two-stage pipeline,
+    mixed UINT8 compute with fp32 fallback ops (softmax heads / l2-norm stay
+    float under the quantizer, like the reference's blocked-op CPU fallback).
+    Reports frames/s assuming every frame yields max_faces crops (worst case)."""
+    import jax
+    import tengine_tpu as tt
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+
+    rng = np.random.default_rng(0)
+    stages = []
+    for name, batch in (("retinaface", 1), ("mobilefacenets", max_faces)):
+        g = load_benchmark_model(name, fill_missing_weights="random")
+        shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+        calib = [rng.standard_normal(shape).astype(np.float32)]
+        qg = quantize_graph(g, calib, scheme="uint8", algorithm="minmax")
+        cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
+        t_in = qg.tensors[qg.input_tensors[0]]
+        shape[0] = batch
+        xq = jax.device_put(
+            qmath.quantize_np(np.broadcast_to(calib[0], shape), t_in.quant, t_in.dtype)
+        )
+        stages.append(measure_device_ms(lambda: cg(xq), _sync_out, n=21))
+    total_ms = sum(stages)
+    return total_ms, stages
+
+
 def main():
     model = "mobilenetv1"
     # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md) => 31.2 img/s.
@@ -164,6 +194,14 @@ def main():
         print(
             f"[bench] yolov5s 640 int8: {y5_ips:.0f} img/s (batch 8), "
             f"{y5_ms/8:.3f} ms/img device time",
+            file=sys.stderr,
+        )
+        face_ms, face_stages = bench_face_pipeline(max_faces=8)
+        print(
+            f"[bench] retinaface+mobilefacenet uint8 two-stage: "
+            f"{1000/face_ms:.0f} frames/s (8 faces/frame worst case; "
+            f"detect {face_stages[0]:.3f} ms + embed x8 {face_stages[1]:.3f} ms) "
+            f"vs baseline 15.15 ms+8x16.97 ms (VIM3 4t) -> {(15.15+8*16.97)/face_ms:.0f}x",
             file=sys.stderr,
         )
     except Exception as e:
