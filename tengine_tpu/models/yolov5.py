@@ -192,12 +192,15 @@ def build_yolov5s_graph(
     fold_bn: bool = True,
     batch: int = 1,
     fuse_silu: bool = True,
+    fold_focus: bool = True,
 ):
     """torch YOLOv5s -> IR Graph (via the fx front-end) + the torch oracle.
 
     fuse_silu=False keeps the explicit Sigmoid/Mul nodes — needed when the
     graph is exported to a tmfile for the reference C engine, whose conv
-    kernels don't know our ACT_SILU epilogue code."""
+    kernels don't know our ACT_SILU epilogue code. fold_focus=False keeps
+    the Focus stem as explicit StridedSlice/Concat nodes (see
+    passes.fuse_focus)."""
     import torch
 
     from ..convert.torch_frontend import from_torch
@@ -212,5 +215,7 @@ def build_yolov5s_graph(
         passes.fuse_activation(g)
         if fuse_silu:
             passes.fuse_silu(g)
+        if fold_focus:
+            passes.fuse_focus(g)
         passes.dce(g)
     return m, g

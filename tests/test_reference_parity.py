@@ -367,7 +367,7 @@ def test_yolov5s_tmfile_runs_in_reference(tmp_path, rng):
     activation clamp set."""
     from tengine_tpu.models.yolov5 import build_yolov5s_graph
 
-    _, g = build_yolov5s_graph(num_classes=80, img=64, fuse_silu=False)
+    _, g = build_yolov5s_graph(num_classes=80, img=64, fuse_silu=False, fold_focus=False)
     x = rng.standard_normal((1, 3, 64, 64)).astype(np.float32)
     ours = _ours_multi(g, [x])
     ref = run_reference(_save(g, tmp_path), x, tmp_path).reshape(ours.shape)

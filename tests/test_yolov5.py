@@ -34,11 +34,30 @@ def test_yolov5s_fp32_matches_torch(y5):
         )
 
 
-def test_yolov5s_focus_strided_slice(y5):
+def test_yolov5s_focus_folded_into_6x6_conv(y5):
     _, g = y5
     ops = {n.op for n in g.nodes}
-    # the focus slices stay in-graph (no offline surgery needed on TPU)
-    assert "StridedSlice" in ops and "Upsample" in ops and "Concat" in ops
+    # fuse_focus folds the 4 slices + concat into the stem conv
+    assert "StridedSlice" not in ops and "Upsample" in ops and "Concat" in ops
+    stem = next(n for n in g.nodes if n.op == "Convolution")
+    p = stem.params
+    assert (p["kernel_h"], p["kernel_w"], p["stride_h"], p["pad_h0"]) == (6, 6, 2, 2)
+    assert p["input_channel"] == 3
+
+
+def test_fuse_focus_exact():
+    """Folded 6x6/s2 stem == explicit slices+concat+3x3 stem, fp32 (the
+    transform is a weight re-indexing, not an approximation)."""
+    from tengine_tpu.models.yolov5 import build_yolov5s_graph
+
+    x = np.random.default_rng(3).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    outs = []
+    for fold in (False, True):
+        torch.manual_seed(0)
+        _, g = build_yolov5s_graph(num_classes=80, img=64, fold_focus=fold)
+        outs.append(tt.compile_graph(g, Options(precision="fp32")).run(x))
+    for a, b in zip(*outs):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
 def test_yolov5s_int8_agreement(y5):
