@@ -358,6 +358,56 @@ def fuse_focus(g: Graph) -> int:
     return fused
 
 
+def decompose_spp(g: Graph) -> int:
+    """Rewrite parallel stride-1 same-pad odd-kernel max-pools of one tensor
+    as a chain of the smallest pool (SPP -> SPPF): mp9 = mp5∘mp5,
+    mp13 = mp5∘mp9. Max is associative and the pad value is the identity
+    (dtype min), so this is exact. TPU-motivated: a 13x13 stride-1
+    reduce_window does 169x compute amplification on the VPU — it measured
+    8.8% of yolov5s int8 device time; the chained form reuses the smaller
+    pools' results. Returns number of pools rewritten."""
+    from collections import defaultdict
+
+    by_src: Dict[int, List[Node]] = defaultdict(list)
+    for n in g.nodes:
+        p = n.params
+        k = p.get("kernel_h", 0)
+        if (
+            n.op == "Pooling"
+            and p.get("alg", 0) == 0
+            and p.get("stride_h") == 1
+            and p.get("stride_w") == 1
+            and not p.get("global_pool")
+            and p.get("kernel_w") == k
+            and k % 2 == 1
+            and k > 1
+            and all(p.get(f"pad_{a}", -1) == (k - 1) // 2 for a in ("h0", "h1", "w0", "w1"))
+        ):
+            by_src[n.inputs[0]].append(n)
+
+    rewrites = 0
+    for src, pools in by_src.items():
+        if len(pools) < 2:
+            continue
+        pools.sort(key=lambda n: n.params["kernel_h"])
+        kernels = [n.params["kernel_h"] for n in pools]
+        k0 = kernels[0]
+        pad = (k0 - 1) // 2
+        for i, (prev, cur) in enumerate(zip(pools, pools[1:])):
+            if kernels[i + 1] != kernels[i] + (k0 - 1):
+                break
+            cur.inputs = [prev.outputs[0]]
+            cur.params.update(
+                kernel_h=k0, kernel_w=k0, pad_h0=pad, pad_h1=pad, pad_w0=pad, pad_w1=pad
+            )
+            t_prev = g.tensors[prev.outputs[0]]
+            t_prev.consumers = sorted(set(t_prev.consumers) | {cur.idx})
+            t_src = g.tensors[src]
+            t_src.consumers = [c for c in t_src.consumers if c != cur.idx]
+            rewrites += 1
+    return rewrites
+
+
 def _is_dw3x3(g: Graph, n: Node) -> bool:
     """Depthwise 3x3, pad 1 on all sides (or stride-1 SAME), stride 1 or 2,
     no dilation — the envelope of the fused Pallas block kernel."""
@@ -573,5 +623,6 @@ def optimize(g: Graph) -> Graph:
     fuse_activation(g)
     fuse_silu(g)
     fuse_focus(g)
+    decompose_spp(g)
     dce(g)
     return g

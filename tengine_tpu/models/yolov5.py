@@ -217,5 +217,6 @@ def build_yolov5s_graph(
             passes.fuse_silu(g)
         if fold_focus:
             passes.fuse_focus(g)
+        passes.decompose_spp(g)
         passes.dce(g)
     return m, g

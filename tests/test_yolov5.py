@@ -45,6 +45,18 @@ def test_yolov5s_focus_folded_into_6x6_conv(y5):
     assert p["input_channel"] == 3
 
 
+def test_yolov5s_spp_decomposed(y5):
+    """decompose_spp rewrites the 5/9/13 SPP pools as a chain of 5x5 pools
+    (SPPF form) — numerics covered by the torch-oracle test above."""
+    _, g = y5
+    pools = [n for n in g.nodes if n.op == "Pooling"]
+    assert len(pools) == 3
+    assert all(n.params["kernel_h"] == 5 for n in pools)
+    # chained: pool i+1 consumes pool i's output
+    assert pools[1].inputs == [pools[0].outputs[0]]
+    assert pools[2].inputs == [pools[1].outputs[0]]
+
+
 def test_fuse_focus_exact():
     """Folded 6x6/s2 stem == explicit slices+concat+3x3 stem, fp32 (the
     transform is a weight re-indexing, not an approximation)."""
