@@ -33,7 +33,7 @@ from ..ops import detection as _detection  # noqa: F401
 from ..ops import fused as _fused  # noqa: F401
 from ..ops import qmath
 from ..ops import quantized as _quantized  # noqa: F401
-from ..ops.layout import TArr, as_semantic, nchw, semantic_shape
+from ..ops.layout import TArr, as_semantic, nchw, nhwc, semantic_shape
 from ..ops.registry import LowerCtx, select_kernel
 from ..utils.config import Options
 
@@ -148,6 +148,8 @@ def _input_spec(graph: Graph, options: Options) -> List[Tuple[int, Tuple[int, ..
             raise ValueError(f"input tensor {t.name!r} has no shape; set one before compile")
         if options.batch_size:
             shape[0] = options.batch_size
+        if options.input_layout == "NHWC" and len(shape) == 4:
+            shape = [shape[0], shape[2], shape[3], shape[1]]
         # quantized graphs take quantized inputs, like the reference C API
         spec.append((tid, tuple(shape), t.dtype.np))
     return spec
@@ -165,7 +167,10 @@ def build_forward(graph: Graph, options: Options, store: ParamStore, return_all:
         store.tracers = params
         env: Dict[int, TArr] = {}
         for tid, arr in zip(input_ids, inputs):
-            env[tid] = nchw(arr)
+            if options.input_layout == "NHWC" and getattr(arr, "ndim", 0) == 4:
+                env[tid] = nhwc(arr)
+            else:
+                env[tid] = nchw(arr)
 
         for node in topo:
             ctx = LowerCtx(graph=graph, node=node, options=options, store=store)
@@ -267,6 +272,12 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
         and options.quant_mode in ("auto", "fast")
         and not options.force_ref_kernels
     )
+    if options.stem_s2d and not options.force_ref_kernels:
+        from ..graph.passes import stem_conv_s2d
+
+        g2 = graph.clone()
+        if stem_conv_s2d(g2):
+            graph = g2
     if fast_quant and options.fuse_dwpw:
         from ..graph.passes import fuse_dwpw
 

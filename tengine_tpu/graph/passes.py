@@ -358,6 +358,244 @@ def fuse_focus(g: Graph) -> int:
     return fused
 
 
+def split_concat_conv1x1(g: Graph) -> int:
+    """Eliminate channel-Concat nodes whose every consumer is a plain 1x1
+    conv: Conv1x1(concat(a, b, ...)) == Conv1x1_a(a) + Conv1x1_b(b) + ...
+    with the weight split along input channels (exact in exact arithmetic;
+    fp32 differs only in summation order). The conv's fused activation moves
+    onto the final sum.
+
+    TPU-motivated: XLA lowers channel concats via ConcatBitcast — free at
+    the concat, but it forces transpose-remnant layouts ({2,3,1,0}) on the
+    surrounding elementwise chains and pays layout copies around every conv
+    (~20% of yolov5s int8 device time at the 160x160 stages). Splitting the
+    conv removes the concat entirely; every branch stays in the conv-native
+    layout. CSP/C3 blocks (yolov5), SPP tails, and PANet necks all hit this
+    pattern. Returns number of concats eliminated."""
+    from ..serializer.tm2 import format as tmfmt
+
+    def _is_split_target(conv: Node, cat_out: int) -> bool:
+        p = conv.params
+        return (
+            conv.op == "Convolution"
+            and conv.inputs[0] == cat_out
+            and p.get("kernel_h") == 1
+            and p.get("kernel_w") == 1
+            and p.get("stride_h") == 1
+            and p.get("stride_w") == 1
+            and p.get("group", 1) == 1
+            and p.get("dilation_h", 1) == 1
+            and p.get("dilation_w", 1) == 1
+            and "fused_add_pos" not in p
+        )
+
+    split = 0
+    for cat in list(g.nodes):
+        if cat.op != "Concat" or cat.params.get("axis") != 1 or len(cat.inputs) < 2:
+            continue
+        cat_out = cat.outputs[0]
+        t_cat = g.tensors[cat_out]
+        cons = [
+            g.nodes[c]
+            for c in sorted(set(t_cat.consumers))
+            if cat_out in g.nodes[c].inputs
+        ]
+        if not cons or cat.idx in g.outputs:
+            continue
+        if not all(_is_split_target(c, cat_out) for c in cons):
+            continue
+        # every consumer must use the concat ONLY as its data input
+        if any(c.inputs.count(cat_out) != 1 for c in cons):
+            continue
+        if any(g.tensors[c.inputs[1]].data is None for c in cons):
+            continue
+        spans, off, ok = [], 0, True
+        for tid in cat.inputs:
+            sh = g.tensors[tid].shape
+            if not sh or len(sh) != 4:
+                ok = False
+                break
+            spans.append((off, off + int(sh[1])))
+            off += int(sh[1])
+        if not ok or any(np.asarray(g.tensors[c.inputs[1]].data).shape[1] != off for c in cons):
+            continue
+
+        for conv in cons:
+            w_t = g.tensors[conv.inputs[1]]
+            w = np.asarray(w_t.data)
+            bias = conv.inputs[2] if len(conv.inputs) > 2 else None
+            act = conv.params.get("activation", -1)
+            part_params = dict(conv.params)
+            part_params["activation"] = -1
+            prev_tid = None
+            part_tids = []
+            for i, (src_tid, (c0, c1)) in enumerate(zip(cat.inputs, spans)):
+                w_i = g.add_tensor(
+                    f"{conv.name}/w_split{i}",
+                    w_t.dtype,
+                    [w.shape[0], c1 - c0, 1, 1],
+                    TensorType.CONST,
+                    data=np.ascontiguousarray(w[:, c0:c1]),
+                )
+                ins = [src_tid, w_i.idx]
+                if i == 0 and bias is not None:
+                    ins.append(bias)
+                out_i = g.add_tensor(f"{conv.name}/part{i}", g.tensors[conv.outputs[0]].dtype)
+                pp = dict(part_params)
+                pp["input_channel"] = c1 - c0
+                g.add_node("Convolution", f"{conv.name}/split{i}", ins, [out_i.idx], params=pp)
+                part_tids.append(out_i.idx)
+            # fold the parts with a sum tree; the original conv node becomes
+            # the final Eltwise (keeps its output tensor + graph position)
+            prev_tid = part_tids[0]
+            for i, tid in enumerate(part_tids[1:-1]):
+                s_out = g.add_tensor(f"{conv.name}/psum{i}", g.tensors[conv.outputs[0]].dtype)
+                g.add_node(
+                    "Eltwise",
+                    f"{conv.name}/padd{i}",
+                    [prev_tid, tid],
+                    [s_out.idx],
+                    params={"type": tmfmt.ELT_SUM},
+                )
+                prev_tid = s_out.idx
+            for tid in conv.inputs:
+                t = g.tensors[tid]
+                t.consumers = [c for c in t.consumers if c != conv.idx]
+            conv.op = "Eltwise"
+            conv.inputs = [prev_tid, part_tids[-1]]
+            conv.params = {"type": tmfmt.ELT_SUM, "activation": act}
+            for tid in conv.inputs:
+                t = g.tensors[tid]
+                t.consumers = sorted(set(t.consumers) | {conv.idx})
+        # retire the concat
+        t_cat.consumers = []
+        for tid in cat.inputs:
+            t = g.tensors[tid]
+            t.consumers = [c for c in t.consumers if c != cat.idx]
+        cat.op = "Noop"
+        cat.inputs = []
+        cat.outputs = []
+        split += 1
+    return split
+
+
+def stem_conv_s2d(g: Graph, max_in_c: int = 8, min_kernel: int = 4, min_hw: int = 320 * 320) -> int:
+    """Rewrite small-input-channel stride-2 convs — the classic 3-channel
+    stem (3x3s2 mobilenet, 7x7s2 resnet, 6x6s2 yolov5-after-focus-fold) —
+    as SpaceToDepth(2) + a stride-1 conv over 4C channels with re-indexed
+    weights. Exact: the same multiply-adds, permuted.
+
+    Per spatial axis, an original tap at offset t (relative to 2*out_idx,
+    t in [-p0, k-1-p0]) maps to s2d phase t%2 and plane shift floor(t/2):
+        w'[o, (dy*2+dx)*C + c, fy(ty), fx(tx)] = w[o, c, ty+p0h, tx+p0w]
+    (dy/dx = tap parities; the (dy,dx,c) channel order matches our
+    SpaceToDepth lowering). New pads: p0' = ceil(p0/2); p1' fixed by the
+    unchanged output size.
+
+    TPU-motivated: XLA's spatial conv emitters for C_in < 8 at stride 2 run
+    at ~4 TFLOP/s and cannot host the requant epilogue (a layout copy lands
+    on each side); composed with an explicit s2d XLA folds the shuffle into
+    a dense stride-1 conv: yolov5s 640 stem measured 4.0 ms -> 0.31 ms
+    (batch 8, incl. epilogue). Runs at compile time (prerun weight-repack
+    analog, cpu_graph.c:143) so quantized weights are permuted too —
+    inserted zero taps encode as the weight zero-point."""
+    rewrites = 0
+    for conv in list(g.nodes):
+        p = conv.params
+        if (
+            conv.op != "Convolution"
+            or p.get("stride_h") != 2
+            or p.get("stride_w") != 2
+            or p.get("group", 1) != 1
+            or p.get("dilation_h", 1) != 1
+            or p.get("dilation_w", 1) != 1
+            or "fused_add_pos" in p
+        ):
+            continue
+        t_in = g.tensors[conv.inputs[0]]
+        t_w = g.tensors[conv.inputs[1]]
+        if t_w.data is None or not t_in.shape or len(t_in.shape) != 4:
+            continue
+        w = np.asarray(t_w.data)
+        O, C = int(w.shape[0]), int(w.shape[1])
+        if C > max_in_c:
+            continue
+        H, W = int(t_in.shape[2]), int(t_in.shape[3])
+        if H % 2 or W % 2:
+            continue
+        kh, kw = p["kernel_h"], p["kernel_w"]
+        # measured envelope: decisive for big kernels at large resolution
+        # (yolov5s 640 6x6: 4.0 -> 0.31 ms); neutral for 7x7@224 (resnet50);
+        # a regression for 3x3 stems (mobilenet/mssd), where XLA's stride-2
+        # emitter is already fine and the shuffle overhead dominates
+        if max(kh, kw) < min_kernel or H * W < min_hw:
+            continue
+        ph0, ph1 = p.get("pad_h0", 0), p.get("pad_h1", 0)
+        pw0, pw1 = p.get("pad_w0", 0), p.get("pad_w1", 0)
+
+        def axis_map(k, p0, p1, size):
+            u0 = (-p0) // 2
+            k2 = (k - 1 - p0) // 2 - u0 + 1
+            out = (size + p0 + p1 - k) // 2 + 1
+            p0_new = -u0
+            p1_new = (out - 1) + k2 - size // 2 - p0_new
+            return u0, k2, p0_new, p1_new, out
+
+        u0y, k2h, p0h2, p1h2, _ = axis_map(kh, ph0, ph1, H)
+        u0x, k2w, p0w2, p1w2, _ = axis_map(kw, pw0, pw1, W)
+        if min(p1h2, p1w2) < 0:
+            continue
+
+        q_w = t_w.quant
+        fill = 0
+        if q_w is not None and not getattr(q_w, "per_channel", False):
+            zps = np.asarray(q_w.zero_points).reshape(-1)
+            if zps.size:
+                fill = int(zps[0])
+        wn = np.full((O, 4 * C, k2h, k2w), fill, dtype=w.dtype)
+        for ty in range(-ph0, kh - ph0):
+            dy = ty % 2
+            uy = (ty - dy) // 2 - u0y
+            for tx in range(-pw0, kw - pw0):
+                dx = tx % 2
+                ux = (tx - dx) // 2 - u0x
+                wn[:, (dy * 2 + dx) * C : (dy * 2 + dx + 1) * C, uy, ux] = w[
+                    :, :, ty + ph0, tx + pw0
+                ]
+        t_w.data = np.ascontiguousarray(wn)
+        t_w.shape = [O, 4 * C, k2h, k2w]
+
+        s2d_out = g.add_tensor(
+            f"{conv.name}/s2d",
+            t_in.dtype,
+            [int(t_in.shape[0]), 4 * C, H // 2, W // 2],
+            quant=t_in.quant,
+        )
+        g.add_node(
+            "SpaceToDepth",
+            f"{conv.name}/s2d",
+            [conv.inputs[0]],
+            [s2d_out.idx],
+            params={"block_size": 2},
+        )
+        t_in.consumers = [c for c in t_in.consumers if c != conv.idx]
+        conv.inputs[0] = s2d_out.idx
+        s2d_out.consumers = sorted(set(s2d_out.consumers) | {conv.idx})
+        p.update(
+            kernel_h=k2h,
+            kernel_w=k2w,
+            stride_h=1,
+            stride_w=1,
+            pad_h0=p0h2,
+            pad_h1=p1h2,
+            pad_w0=p0w2,
+            pad_w1=p1w2,
+            input_channel=4 * C,
+        )
+        rewrites += 1
+    return rewrites
+
+
 def decompose_spp(g: Graph) -> int:
     """Rewrite parallel stride-1 same-pad odd-kernel max-pools of one tensor
     as a chain of the smallest pool (SPP -> SPPF): mp9 = mp5∘mp5,
@@ -624,5 +862,27 @@ def optimize(g: Graph) -> Graph:
     fuse_silu(g)
     fuse_focus(g)
     decompose_spp(g)
+    ensure_shapes(g)
+    split_concat_conv1x1(g)
     dce(g)
     return g
+
+
+def ensure_shapes(g: Graph) -> None:
+    """Fill tensor shapes via abstract trace if any Concat input lacks one
+    (split_concat_conv1x1 needs channel spans). Best-effort: graphs that
+    cannot trace (e.g. missing weights) simply skip shape-dependent passes."""
+    need = any(
+        not g.tensors[tid].shape
+        for n in g.nodes
+        if n.op == "Concat"
+        for tid in n.inputs
+    )
+    if not need:
+        return
+    try:
+        from ..executor.engine import infer_shapes
+
+        infer_shapes(g)
+    except Exception:
+        pass

@@ -218,5 +218,8 @@ def build_yolov5s_graph(
         if fold_focus:
             passes.fuse_focus(g)
         passes.decompose_spp(g)
+        if fold_focus:
+            passes.ensure_shapes(g)
+            passes.split_concat_conv1x1(g)
         passes.dce(g)
     return m, g

@@ -652,7 +652,11 @@ def lower_eltwise(ctx: LowerCtx, x0: TArr, *rest: TArr):
     }
     if t not in binary:
         raise NotImplementedError(f"eltwise type {t}")
-    return like(x0, binary[t](a, b))
+    out = binary[t](a, b)
+    # our graph-pass extension (split_concat_conv1x1 moves a conv's fused
+    # activation onto the sum node); the reference eltwise has no epilogue
+    out = apply_activation(out, ctx.params.get("activation", -1))
+    return like(x0, out)
 
 
 @register_op("BroadMul")

@@ -54,6 +54,20 @@ class Options:
     # TE_ENABLE_MEMORY_CHECK/sanitizer tier, SURVEY §5). Env: TT_DEBUG_NANS.
     debug_nans: bool = False
     internal_layout: str = "NHWC"  # lowering layout for conv stacks: NHWC | NCHW
+    # Physical layout of 4-D graph inputs at the jit boundary. The IR is
+    # NCHW (tmfile semantics) and that stays the default API contract, but
+    # an NCHW device input makes XLA fold the entry transpose into the first
+    # conv (dim_labels=bf01) and then ripple transpose-remnant layouts +
+    # copies through the early stages (~20% of yolov5s device time). With
+    # "NHWC" the caller hands NHWC arrays (the natural camera/decode order)
+    # and the program is NHWC end-to-end. Outputs are unaffected (semantic
+    # NCHW).
+    input_layout: str = "NCHW"
+    # Rewrite small-channel stride-2 stem convs as SpaceToDepth + stride-1
+    # conv at compile time (exact weight permutation; passes.stem_conv_s2d).
+    # XLA's stride-2 emitters for C_in<8 run ~13x slower than the composed
+    # s2d form on the yolov5s 640 stem. Applies to float and quantized runs.
+    stem_s2d: bool = True
     # Use the Pallas int8 qgemm for large pointwise convs / FC. Bit-exact with
     # the XLA fast path; standalone it beats XLA at K>=256, but each
     # pallas_call is a fusion barrier, which currently costs more than it

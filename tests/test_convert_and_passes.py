@@ -130,3 +130,40 @@ def test_optimize_pipeline_on_imported(rng):
     optimize(g)
     (after,) = compile_graph(g).run(x)
     np.testing.assert_allclose(before, after, rtol=1e-4, atol=1e-5)
+
+
+class StemNet(nn.Module):
+    """Stride-2 stems of the three shapes stem_conv_s2d must map exactly:
+    even kernel (yolov5 6x6 p2), odd kernel+odd pad (resnet 7x7 p3,
+    mobilenet 3x3 p1)."""
+
+    def __init__(self, k, p):
+        super().__init__()
+        self.conv = nn.Conv2d(3, 8, k, stride=2, padding=p)
+
+    def forward(self, x):
+        return self.conv(x)
+
+
+@pytest.mark.parametrize("k,p", [(6, 2), (7, 3), (3, 1), (5, 2)])
+def test_stem_conv_s2d_exact(k, p, rng):
+    from tengine_tpu.convert.torch_frontend import from_torch
+    from tengine_tpu.graph.passes import stem_conv_s2d
+    from tengine_tpu.utils.config import Options
+
+    torch.manual_seed(0)
+    model = StemNet(k, p).eval()
+    x = torch.randn(2, 3, 32, 32)
+    g = from_torch(model, x)
+    with torch.no_grad():
+        expected = model(x).numpy()
+
+    # pass applied directly (the compile-time gate excludes small inputs)
+    g2 = g.clone()
+    n = stem_conv_s2d(g2, min_kernel=0, min_hw=0)
+    assert n == 1
+    s2d = [nd for nd in g2.nodes if nd.op == "SpaceToDepth"]
+    conv = [nd for nd in g2.nodes if nd.op == "Convolution"][0]
+    assert len(s2d) == 1 and conv.params["stride_h"] == 1
+    (out,) = compile_graph(g2, Options(stem_s2d=False)).run(x.numpy())
+    np.testing.assert_allclose(out.reshape(expected.shape), expected, rtol=1e-4, atol=1e-5)
