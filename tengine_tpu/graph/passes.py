@@ -492,13 +492,13 @@ def stem_conv_s2d(g: Graph, max_in_c: int = 8, min_kernel: int = 4, min_hw: int 
     SpaceToDepth lowering). New pads: p0' = ceil(p0/2); p1' fixed by the
     unchanged output size.
 
-    TPU-motivated: XLA's spatial conv emitters for C_in < 8 at stride 2 run
-    at ~4 TFLOP/s and cannot host the requant epilogue (a layout copy lands
-    on each side); composed with an explicit s2d XLA folds the shuffle into
-    a dense stride-1 conv: yolov5s 640 stem measured 4.0 ms -> 0.31 ms
-    (batch 8, incl. epilogue). Runs at compile time (prerun weight-repack
-    analog, cpu_graph.c:143) so quantized weights are permuted too —
-    inserted zero taps encode as the weight zero-point."""
+    Status: correctness-proven (parametrized exactness tests) but opt-in
+    (Options.stem_s2d): device traces show XLA materializes the pixel
+    shuffle as relayout copies that cancel the conv win (yolov5s 640:
+    7.91 -> 8.24 ms/batch). Kept as the IR groundwork for a fused stem
+    kernel. Runs at compile time (prerun weight-repack analog,
+    cpu_graph.c:143) so quantized weights are permuted too — inserted zero
+    taps encode as the weight zero-point."""
     rewrites = 0
     for conv in list(g.nodes):
         p = conv.params
@@ -524,10 +524,6 @@ def stem_conv_s2d(g: Graph, max_in_c: int = 8, min_kernel: int = 4, min_hw: int 
         if H % 2 or W % 2:
             continue
         kh, kw = p["kernel_h"], p["kernel_w"]
-        # measured envelope: decisive for big kernels at large resolution
-        # (yolov5s 640 6x6: 4.0 -> 0.31 ms); neutral for 7x7@224 (resnet50);
-        # a regression for 3x3 stems (mobilenet/mssd), where XLA's stride-2
-        # emitter is already fine and the shuffle overhead dominates
         if max(kh, kw) < min_kernel or H * W < min_hw:
             continue
         ph0, ph1 = p.get("pad_h0", 0), p.get("pad_h1", 0)

@@ -65,9 +65,11 @@ class Options:
     input_layout: str = "NCHW"
     # Rewrite small-channel stride-2 stem convs as SpaceToDepth + stride-1
     # conv at compile time (exact weight permutation; passes.stem_conv_s2d).
-    # XLA's stride-2 emitters for C_in<8 run ~13x slower than the composed
-    # s2d form on the yolov5s 640 stem. Applies to float and quantized runs.
-    stem_s2d: bool = True
+    # Device traces show XLA materializes the pixel shuffle as relayout
+    # copies that cancel the conv win (yolov5s 640: 7.91 -> 8.24 ms/batch),
+    # so this stays opt-in; the stem bottleneck is addressed by the Pallas
+    # stem kernel instead.
+    stem_s2d: bool = False
     # Use the Pallas int8 qgemm for large pointwise convs / FC. Bit-exact with
     # the XLA fast path; standalone it beats XLA at K>=256, but each
     # pallas_call is a fusion barrier, which currently costs more than it
