@@ -32,7 +32,7 @@ from jax import lax
 
 from ..graph.ir import DType, QuantParam
 from . import qmath
-from .layout import TArr, as_nhwc, as_semantic, nchw, nhwc
+from .layout import TArr, as_nchw, as_nhwc, as_semantic, nchw, nhwc
 from .lowering import ACT_SILU, _conv_pads, apply_activation
 from .registry import SCORE_BEST, SCORE_CANDO, SCORE_STATIC, LowerCtx, register_op
 
@@ -200,6 +200,102 @@ def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
         # k>1 uses the manual halo DMA, which needs 128-aligned lanes
         and (k1 or in_c % 128 == 0)
     )
+
+
+def _pallas_stem_ok(ctx: LowerCtx) -> bool:
+    """Fused stem kernel (ops/pallas/stem_conv.py): small-channel stride-2
+    quantized conv on raw integer input — the first layer of every conv
+    net, where XLA's emitters are ~70x off roofline (33% of yolov5s int8
+    device time measured)."""
+    if not _fast_enabled(ctx) or not ctx.options.pallas_stem:
+        return False
+    p = ctx.params
+    t_in = ctx.in_tensor(0)
+    t_w = ctx.in_tensor(1)
+    if t_in.dtype not in (DType.INT8, DType.UINT8):
+        return False
+    if t_in.quant is None or t_w.quant is None or ctx.out_tensor(0).quant is None:
+        return False
+    if not t_in.shape or len(t_in.shape) != 4:
+        return False
+    H, W = int(t_in.shape[2]), int(t_in.shape[3])
+    kh, kw = p["kernel_h"], p["kernel_w"]
+    pad = p.get("pad_h0", 0)
+    return (
+        "fused_add_pos" not in p
+        and p.get("group", 1) == 1
+        and p.get("dilation_h", 1) == 1
+        and p.get("dilation_w", 1) == 1
+        and p["stride_h"] == 2
+        and p["stride_w"] == 2
+        and kh == kw
+        and kh <= 7
+        and int(t_w.shape[1]) <= 4
+        and all(p.get(f"pad_{a}", -1) == pad for a in ("h0", "h1", "w0", "w1"))
+        and kh <= 2 * pad + 2
+        and H % 2 == 0
+        and W % 2 == 0
+        and (H // 2) % 8 == 0
+        # measured envelope: decisive at large resolution (yolov5s 640:
+        # 7.91 -> 6.72 ms/batch8 whole-net); a regression at 224/300 (the
+        # per-program whole-image VMEM block refetch dominates tiny stems —
+        # mobilenet b128: 2.9 -> 5.7 ms). Lift when the kernel streams rows.
+        and W >= 512
+        and ctx.const_data(1) is not None
+    )
+
+
+@register_op("Convolution", score=SCORE_STATIC + 2, predicate=_pallas_stem_ok, quant=True)
+def lower_conv_quant_pallas_stem(ctx: LowerCtx, x: TArr, *rest: TArr):
+    """First-layer conv + requant in one Pallas pass (exact int32 MAC)."""
+    from .pallas.stem_conv import pack_stem_weights, stem_qconv_packed
+
+    p = ctx.params
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    out_c = int(t_w.shape[0])
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+    w_scales = _wscales(t_w.quant, out_c)
+    s_out = float(np.asarray(t_out.quant.scales).reshape(-1)[0])
+    zp_out = int(np.asarray(t_out.quant.zero_points).reshape(-1)[0])
+    zp_w = (
+        0
+        if t_w.quant.per_channel
+        else int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
+    )
+    signed_in = t_in.dtype == DType.INT8
+
+    def packed():
+        mult = (s_in * w_scales / s_out).astype(np.float32)
+        b_q = (
+            ctx.const_data(2).astype(np.float64)
+            if ctx.num_inputs > 2
+            else np.zeros(out_c, np.float64)
+        )
+        bias = (b_q * mult).astype(np.float32)
+        wmat, m_e, b_e, w_corr = pack_stem_weights(
+            ctx.const_data(1), mult, bias,
+            k=p["kernel_h"], zp_in=zp_in, zp_w=zp_w, signed_in=signed_in,
+        )
+        return {"w": wmat, "m": m_e, "b": b_e}, w_corr
+
+    w_corr = 128.0 - zp_w if zp_w else 0.0
+    wmat = ctx.get_param("stem_w", lambda: packed()[0]["w"])
+    m_e = ctx.get_param("stem_m", lambda: packed()[0]["m"])
+    b_e = ctx.get_param("stem_b", lambda: packed()[0]["b"])
+
+    lo, hi = qmath.QRANGE[t_out.dtype]
+    out = stem_qconv_packed(
+        as_nchw(x),
+        wmat, m_e, b_e,
+        n_cout=out_c, w_corr=w_corr,
+        k=p["kernel_h"], pad=p.get("pad_h0", 0),
+        act=p.get("activation", -1), s_out=s_out,
+        zp_in=zp_in, zp_out=zp_out, lo=float(lo), hi=float(hi),
+    )
+    if not ctx.options.quant_bf16_storage:
+        out = out.astype(jnp.int32).astype(t_out.dtype.np)
+    return nhwc(out)
 
 
 @register_op("Convolution", score=SCORE_STATIC + 1, predicate=_pallas_qconv_ok, quant=True)

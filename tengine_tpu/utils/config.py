@@ -97,6 +97,12 @@ class Options:
     # boundary layers), so the default path stays bf16; flip
     # quant_bf16_storage=False to use it.
     pallas_qconv: bool = True
+    # Fused Pallas stem kernel (ops/pallas/stem_conv.py) for the first-layer
+    # small-channel stride-2 conv of every quantized net. XLA's emitters for
+    # C_in < 8 cannot host the requant epilogue and wrap the conv in layout
+    # copies; the kernel measured 2.6 vs 3.4 ms on the yolov5s 640 stem
+    # cluster (batch 8, device trace), exact int32 accumulation, s8/u8.
+    pallas_stem: bool = True
     # Fuse quantized dw3x3+pw1x1 pairs into a single Pallas block kernel
     # that keeps the depthwise intermediate in VMEM. Under the default bf16
     # storage this selects the bf16-domain kernel (ops/pallas/fused_dwpw2.py,

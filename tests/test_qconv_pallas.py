@@ -209,3 +209,58 @@ def test_fused_dwpw_bf16_matches_fast(rng):
     (fused,) = cg.run(xq)
     diff = np.abs(fused.astype(np.int32) - unfused.astype(np.int32))
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
+
+
+class TestStemConv:
+    """Fused stem kernel (ops/pallas/stem_conv.py) vs the bf16 XLA fast
+    path — exact for s8/u8 inputs, u8 weights, every activation code."""
+
+    @pytest.mark.parametrize(
+        "k,pad,act,mode,zp_w",
+        [(6, 2, 100, "s8", 0), (3, 1, 0, "u8", 0), (7, 3, -1, "s8", 0),
+         (6, 2, 6, "u8", 113)],
+    )
+    def test_stem_qconv_exact(self, k, pad, act, mode, zp_w, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from tengine_tpu.ops.pallas.stem_conv import stem_qconv
+
+        B, C, H, W, Cout = 2, 3, 32, 32, 32
+        if mode == "s8":
+            x = rng.integers(-127, 128, (B, C, H, W)).astype(np.int8)
+            zp_in = zp_out = 0
+            lo, hi = -127, 127
+            w = rng.integers(-127, 128, (Cout, C, k, k)).astype(np.float32)
+        else:
+            x = rng.integers(0, 256, (B, C, H, W)).astype(np.uint8)
+            zp_in, zp_out, lo, hi = 117, 121, 0, 255
+            w = rng.integers(0 if zp_w else -127, 128 + (128 if zp_w else 0),
+                             (Cout, C, k, k)).astype(np.float32)
+        mult = rng.random(Cout).astype(np.float32) * 1e-3 + 1e-4
+        bias = rng.standard_normal(Cout).astype(np.float32)
+        s_out = 0.05
+
+        got = np.asarray(stem_qconv(
+            jnp.asarray(x), w, mult, bias, k=k, pad=pad, act=act, s_out=s_out,
+            zp_in=zp_in, zp_w=zp_w, zp_out=zp_out, lo=lo, hi=hi, out_f32=True,
+        ))
+
+        xs = jnp.asarray(x.astype(np.float32) - zp_in).astype(jnp.bfloat16)
+        xs = jnp.transpose(xs, (0, 2, 3, 1))
+        wm = jnp.asarray(w - zp_w).transpose(2, 3, 1, 0).astype(jnp.bfloat16)
+        acc = jax.lax.conv_general_dilated(
+            xs, wm, (2, 2), [(pad, pad), (pad, pad)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        q = acc * jnp.asarray(mult) + jnp.asarray(bias)
+        if act == 100:
+            q = q * jax.nn.sigmoid(q * s_out)
+        elif act == 0:
+            q = jnp.maximum(q, 0.0)
+        elif act == 6:
+            q = jnp.minimum(jnp.maximum(q, 0.0), 6.0 / s_out)
+        q = jnp.sign(q) * jnp.floor(jnp.abs(q) + 0.5) + zp_out
+        exp = np.asarray(jnp.clip(q, lo, hi))
+        np.testing.assert_array_equal(got, exp)
