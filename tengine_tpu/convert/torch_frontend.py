@@ -183,6 +183,21 @@ def from_torch(model, example_input) -> Graph:
                         dict(resize_type=2, width_scale=sf, height_scale=sf,
                              output_width=0, output_height=0),
                     )[0]
+            elif isinstance(m, nn.PixelShuffle):
+                # torch pixel_shuffle is channel-major (CRD) depth-to-space
+                env[node.name] = emit(
+                    "DepthToSpace", name, [xin],
+                    dict(block_size=int(m.upscale_factor), mode="CRD"),
+                )[0]
+            elif isinstance(m, nn.PixelUnshuffle):
+                env[node.name] = emit(
+                    "SpaceToDepth", name, [xin],
+                    dict(block_size=int(m.downscale_factor), mode="CRD"),
+                )[0]
+            elif isinstance(m, nn.ChannelShuffle):
+                env[node.name] = emit(
+                    "ShuffleChannel", name, [xin], dict(group=int(m.groups))
+                )[0]
             elif type(m) in _ACT_MODULES and _ACT_MODULES[type(m)]:
                 op, params = _ACT_MODULES[type(m)]
                 env[node.name] = emit(op, name, [xin], params)[0]

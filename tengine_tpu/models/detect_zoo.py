@@ -1,0 +1,387 @@
+"""More model families from the reference's integration-test zoo
+(tests/models/test_model_{alphapose,nanodet_m,ultraface}.cpp): human-pose
+heatmap regression, anchor-free detection (GFL head), and a slim SSD-style
+face detector.
+
+Clean-room torch modules mirroring each family's published architecture
+shape (not ports of any implementation), imported through the fx
+front-end. They exercise op families the other zoo nets don't hit
+together: ConvTranspose + PixelShuffle heads (pose), ShuffleChannel +
+multi-scale PAN adds (nanodet), and depthwise-separable SSD heads
+(ultraface). Weights are seeded random — the reference benchmarks
+weight-stripped nets the same way (tm2_serializer.c:241-246)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+__all__ = [
+    "FastPose",
+    "NanoDetM",
+    "UltraFace",
+    "build_fastpose_graph",
+    "build_nanodet_graph",
+    "build_ultraface_graph",
+    "decode_pose_heatmaps",
+    "decode_nanodet",
+    "decode_ultraface",
+]
+
+
+def _torch():
+    import torch
+    import torch.nn as nn
+
+    return torch, nn
+
+
+# ---------------------------------------------------------------------------
+# AlphaPose / FastPose: resnet-style backbone + DUC (pixel-shuffle) upsample
+# head -> 17 COCO keypoint heatmaps (test_model_alphapose.cpp's output
+# contract: [1, 17, H/4, W/4]).
+# ---------------------------------------------------------------------------
+
+
+def FastPose(num_joints: int = 17, width: int = 32):
+    torch, nn = _torch()
+
+    class Bottleneck(nn.Module):
+        def __init__(self, ci, co, stride=1):
+            super().__init__()
+            mid = co // 4
+            self.conv1 = nn.Conv2d(ci, mid, 1, bias=False)
+            self.bn1 = nn.BatchNorm2d(mid)
+            self.conv2 = nn.Conv2d(mid, mid, 3, stride, 1, bias=False)
+            self.bn2 = nn.BatchNorm2d(mid)
+            self.conv3 = nn.Conv2d(mid, co, 1, bias=False)
+            self.bn3 = nn.BatchNorm2d(co)
+            self.relu = nn.ReLU()
+            self.down = (
+                nn.Sequential(nn.Conv2d(ci, co, 1, stride, bias=False), nn.BatchNorm2d(co))
+                if (stride != 1 or ci != co)
+                else None
+            )
+
+        def forward(self, x):
+            r = x if self.down is None else self.down(x)
+            x = self.relu(self.bn1(self.conv1(x)))
+            x = self.relu(self.bn2(self.conv2(x)))
+            x = self.bn3(self.conv3(x))
+            return self.relu(x + r)
+
+    class DUC(nn.Module):
+        """Dense upsampling conv: conv -> bn -> relu -> pixel shuffle x2."""
+
+        def __init__(self, ci, co):
+            super().__init__()
+            self.conv = nn.Conv2d(ci, co, 3, 1, 1, bias=False)
+            self.bn = nn.BatchNorm2d(co)
+            self.relu = nn.ReLU()
+            self.shuffle = nn.PixelShuffle(2)
+
+        def forward(self, x):
+            return self.shuffle(self.relu(self.bn(self.conv(x))))
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, w, 7, 2, 3, bias=False), nn.BatchNorm2d(w), nn.ReLU(),
+                nn.MaxPool2d(3, 2, 1),
+            )
+            self.layer1 = nn.Sequential(Bottleneck(w, w * 4), Bottleneck(w * 4, w * 4))
+            self.layer2 = nn.Sequential(
+                Bottleneck(w * 4, w * 8, 2), Bottleneck(w * 8, w * 8)
+            )
+            self.layer3 = nn.Sequential(
+                Bottleneck(w * 8, w * 16, 2), Bottleneck(w * 16, w * 16)
+            )
+            self.layer4 = nn.Sequential(
+                Bottleneck(w * 16, w * 32, 2), Bottleneck(w * 32, w * 32)
+            )
+            self.shuffle1 = nn.PixelShuffle(2)
+            self.duc1 = DUC(w * 8, w * 16)
+            self.duc2 = DUC(w * 4, w * 8)
+            self.head = nn.Conv2d(w * 2, num_joints, 3, 1, 1)
+
+        def forward(self, x):
+            # /32 backbone + 3x2 upsampling -> /4 heatmaps (FastPose contract)
+            x = self.stem(x)
+            x = self.layer1(x)
+            x = self.layer2(x)
+            x = self.layer3(x)
+            x = self.layer4(x)
+            x = self.shuffle1(x)   # w*32 -> w*8, 2x up
+            x = self.duc1(x)       # -> w*4, 2x up
+            x = self.duc2(x)       # -> w*2, 2x up
+            return self.head(x)
+
+    return Net().eval()
+
+
+def build_fastpose_graph(num_joints=17, img_h=256, img_w=192, width=32):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = FastPose(num_joints, width)
+    g = from_torch(m, torch.zeros(1, 3, img_h, img_w))
+    g.name = "fastpose"
+    return m, optimize(g)
+
+
+def decode_pose_heatmaps(hm: np.ndarray):
+    """Heatmap -> (keypoints [N,J,2] in input pixels, scores [N,J]) — the
+    argmax decode of test_model_alphapose.cpp."""
+    n, j, h, w = hm.shape
+    flat = hm.reshape(n, j, -1)
+    idx = flat.argmax(axis=-1)
+    scores = np.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    ys, xs = idx // w, idx % w
+    kps = np.stack([xs * 4.0, ys * 4.0], axis=-1)
+    return kps, scores
+
+
+# ---------------------------------------------------------------------------
+# NanoDet-m: ShuffleNetV2-style backbone (channel shuffle) + PAN neck +
+# shared GFL head -> per-level [cls(80) + 4*(reg_max+1)] maps
+# (test_model_nanodet_m.cpp decodes strides 8/16/32 with reg_max=7).
+# ---------------------------------------------------------------------------
+
+
+def NanoDetM(num_classes: int = 80, reg_max: int = 7, width: int = 48):
+    torch, nn = _torch()
+
+    class ShuffleBlock(nn.Module):
+        def __init__(self, ci, co, stride):
+            super().__init__()
+            self.stride = stride
+            self.half = ci // 2
+            branch = co // 2
+            if stride == 2:
+                self.b0 = nn.Sequential(
+                    nn.Conv2d(ci, ci, 3, 2, 1, groups=ci, bias=False),
+                    nn.BatchNorm2d(ci),
+                    nn.Conv2d(ci, branch, 1, bias=False),
+                    nn.BatchNorm2d(branch), nn.ReLU(),
+                )
+                cin1 = ci
+            else:
+                self.b0 = None
+                cin1 = ci // 2
+            self.b1 = nn.Sequential(
+                nn.Conv2d(cin1, branch, 1, bias=False),
+                nn.BatchNorm2d(branch), nn.ReLU(),
+                nn.Conv2d(branch, branch, 3, stride, 1, groups=branch, bias=False),
+                nn.BatchNorm2d(branch),
+                nn.Conv2d(branch, branch, 1, bias=False),
+                nn.BatchNorm2d(branch), nn.ReLU(),
+            )
+            self.shuffle = nn.ChannelShuffle(2)
+
+        def forward(self, x):
+            if self.stride == 2:
+                out = torch.cat([self.b0(x), self.b1(x)], dim=1)
+            else:
+                a, b = x[:, : self.half], x[:, self.half :]
+                out = torch.cat([a, self.b1(b)], dim=1)
+            return self.shuffle(out)
+
+    w0 = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, 24, 3, 2, 1, bias=False), nn.BatchNorm2d(24), nn.ReLU(),
+                nn.MaxPool2d(3, 2, 1),
+            )
+            self.stage2 = nn.Sequential(
+                ShuffleBlock(24, w0 * 2, 2), ShuffleBlock(w0 * 2, w0 * 2, 1)
+            )
+            self.stage3 = nn.Sequential(
+                ShuffleBlock(w0 * 2, w0 * 4, 2), ShuffleBlock(w0 * 4, w0 * 4, 1)
+            )
+            self.stage4 = nn.Sequential(
+                ShuffleBlock(w0 * 4, w0 * 8, 2), ShuffleBlock(w0 * 8, w0 * 8, 1)
+            )
+            neck = 96
+            self.lat2 = nn.Conv2d(w0 * 2, neck, 1)
+            self.lat3 = nn.Conv2d(w0 * 4, neck, 1)
+            self.lat4 = nn.Conv2d(w0 * 8, neck, 1)
+            self.up = nn.Upsample(scale_factor=2, mode="nearest")
+            self.down = nn.Conv2d(neck, neck, 3, 2, 1)
+            out_ch = num_classes + 4 * (reg_max + 1)
+            self.heads = nn.ModuleList(
+                nn.Sequential(
+                    nn.Conv2d(neck, neck, 3, 1, 1, groups=neck, bias=False),
+                    nn.BatchNorm2d(neck), nn.ReLU(),
+                    nn.Conv2d(neck, neck, 1), nn.ReLU(),
+                    nn.Conv2d(neck, out_ch, 1),
+                )
+                for _ in range(3)
+            )
+
+        def forward(self, x):
+            x = self.stem(x)
+            c2 = self.stage2(x)
+            c3 = self.stage3(c2)
+            c4 = self.stage4(c3)
+            p4 = self.lat4(c4)
+            p3 = self.lat3(c3) + self.up(p4)
+            p2 = self.lat2(c2) + self.up(p3)
+            n3 = p3 + self.down(p2)
+            n4 = p4 + self.down(n3)
+            return self.heads[0](p2), self.heads[1](n3), self.heads[2](n4)
+
+    return Net().eval()
+
+
+def build_nanodet_graph(num_classes=80, reg_max=7, img=320, width=48):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = NanoDetM(num_classes, reg_max, width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "nanodet_m"
+    return m, optimize(g)
+
+
+def _softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def decode_nanodet(outputs, num_classes=80, reg_max=7, strides=(8, 16, 32),
+                   score_threshold=0.35):
+    """GFL decode (test_model_nanodet_m.cpp): per-cell distribution
+    expectation -> l/t/r/b distances -> boxes; returns [M, 6]
+    (x0,y0,x1,y1,score,cls)."""
+    dets = []
+    for out, stride in zip(outputs, strides):
+        n, c, h, w = out.shape
+        cls = out[0, :num_classes].reshape(num_classes, -1).T          # [HW, C]
+        reg = out[0, num_classes:].reshape(4, reg_max + 1, h * w)
+        prob = _softmax(reg.transpose(2, 0, 1))                        # [HW,4,R]
+        dist = (prob * np.arange(reg_max + 1)).sum(-1) * stride        # [HW,4]
+        scores = 1.0 / (1.0 + np.exp(-cls))
+        best = scores.max(axis=1)
+        keep = np.where(best > score_threshold)[0]
+        ys, xs = keep // w, keep % w
+        cx, cy = (xs + 0.5) * stride, (ys + 0.5) * stride
+        l, t, r, b = dist[keep].T
+        for i, k in enumerate(keep):
+            dets.append([cx[i] - l[i], cy[i] - t[i], cx[i] + r[i], cy[i] + b[i],
+                         best[k], scores[k].argmax()])
+    return np.asarray(dets, np.float32).reshape(-1, 6)
+
+
+# ---------------------------------------------------------------------------
+# UltraFace (version-slim style): depthwise-separable backbone + SSD heads
+# on 4 scales (test_model_ultraface.cpp: scores [N,2], boxes [N,4]).
+# ---------------------------------------------------------------------------
+
+
+def UltraFace(width: int = 16):
+    torch, nn = _torch()
+
+    def dw_pw(ci, co, stride=1):
+        return nn.Sequential(
+            nn.Conv2d(ci, ci, 3, stride, 1, groups=ci, bias=False),
+            nn.BatchNorm2d(ci), nn.ReLU(),
+            nn.Conv2d(ci, co, 1, bias=False), nn.BatchNorm2d(co), nn.ReLU(),
+        )
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.s1 = nn.Sequential(  # /4 -> feature 1
+                nn.Conv2d(3, w, 3, 2, 1, bias=False), nn.BatchNorm2d(w), nn.ReLU(),
+                dw_pw(w, w * 2, 2), dw_pw(w * 2, w * 2), dw_pw(w * 2, w * 2),
+            )
+            self.s2 = nn.Sequential(dw_pw(w * 2, w * 4, 2), dw_pw(w * 4, w * 4))
+            self.s3 = nn.Sequential(dw_pw(w * 4, w * 8, 2), dw_pw(w * 8, w * 8))
+            self.s4 = nn.Sequential(dw_pw(w * 8, w * 16, 2), dw_pw(w * 16, w * 16))
+            anchors = (3, 2, 2, 3)
+            chans = (w * 2, w * 4, w * 8, w * 16)
+            self.cls = nn.ModuleList(nn.Conv2d(c, a * 2, 3, 1, 1) for c, a in zip(chans, anchors))
+            self.reg = nn.ModuleList(nn.Conv2d(c, a * 4, 3, 1, 1) for c, a in zip(chans, anchors))
+
+        def forward(self, x):
+            # raw per-scale conv maps [N, A*2|A*4, h, w]; host decode
+            # flattens to the reference's [N, priors, 2|4] contract
+            feats = []
+            x = self.s1(x); feats.append(x)
+            x = self.s2(x); feats.append(x)
+            x = self.s3(x); feats.append(x)
+            x = self.s4(x); feats.append(x)
+            outs = []
+            for f, c, r in zip(feats, self.cls, self.reg):
+                outs.append(c(f))
+                outs.append(r(f))
+            return tuple(outs)
+
+    return Net().eval()
+
+
+def build_ultraface_graph(img_h=240, img_w=320, width=16):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = UltraFace(width)
+    g = from_torch(m, torch.zeros(1, 3, img_h, img_w))
+    g.name = "ultraface"
+    return m, optimize(g)
+
+
+def flatten_ultraface(outputs, anchors=(3, 2, 2, 3)):
+    """Raw per-scale head maps -> ([N, priors, 2] scores, [N, priors, 4]
+    boxes), the reference's output contract."""
+    scores, boxes = [], []
+    for i, _ in enumerate(anchors):
+        s, b = np.asarray(outputs[2 * i]), np.asarray(outputs[2 * i + 1])
+        n = s.shape[0]
+        scores.append(s.transpose(0, 2, 3, 1).reshape(n, -1, 2))
+        boxes.append(b.transpose(0, 2, 3, 1).reshape(n, -1, 4))
+    return np.concatenate(scores, 1), np.concatenate(boxes, 1)
+
+
+def decode_ultraface(scores, boxes, priors, score_threshold=0.7,
+                     center_var=0.1, size_var=0.2):
+    """SSD prior decode (test_model_ultraface.cpp semantics)."""
+    s = _softmax(scores[0], axis=-1)[:, 1]
+    keep = np.where(s > score_threshold)[0]
+    b = boxes[0][keep]
+    p = priors[keep]
+    cxy = b[:, :2] * center_var * p[:, 2:] + p[:, :2]
+    wh = np.exp(b[:, 2:] * size_var) * p[:, 2:]
+    out = np.concatenate([cxy - wh / 2, cxy + wh / 2, s[keep, None]], axis=1)
+    return out.astype(np.float32)
+
+
+def ultraface_priors(img_h=240, img_w=320):
+    """Anchor grid matching UltraFace's 4 scales (normalized cx,cy,w,h)."""
+    min_boxes = [[10, 16, 24], [32, 48], [64, 96], [128, 192, 256]]
+    strides = [4, 8, 16, 32]
+    priors = []
+    for stride, sizes in zip(strides, min_boxes):
+        fh, fw = img_h // stride, img_w // stride
+        for y in range(fh):
+            for x in range(fw):
+                for s in sizes:
+                    priors.append([
+                        (x + 0.5) * stride / img_w,
+                        (y + 0.5) * stride / img_h,
+                        s / img_w,
+                        s / img_h,
+                    ])
+    return np.asarray(priors, np.float32)

@@ -1019,29 +1019,39 @@ def lower_shufflechannel(ctx: LowerCtx, x: TArr):
 
 @register_op("SpaceToDepth")
 def lower_space_to_depth(ctx: LowerCtx, x: TArr):
-    """Channel order (dy, dx, c) in both branches. The NCHW branch matters:
+    """mode DCR (default, ONNX): channel order (dy, dx, c); mode CRD
+    (torch pixel_unshuffle): (c, dy, dx). The NCHW branch matters:
     transposing to NHWC first makes XLA materialize the 6-D shuffle as
     three relayout copies (~14% of yolov5s stem time); in the source layout
     it folds into the consuming conv."""
     bs = ctx.params["block_size"]
+    crd = ctx.params.get("mode", "DCR") == "CRD"
     if x.layout != "NHWC":
         xs = x.x
         n, c, h, w = xs.shape
-        out = xs.reshape(n, c, h // bs, bs, w // bs, bs).transpose(0, 3, 5, 1, 2, 4)
-        return nchw(out.reshape(n, c * bs * bs, h // bs, w // bs))
+        v = xs.reshape(n, c, h // bs, bs, w // bs, bs)
+        v = v.transpose(0, 1, 3, 5, 2, 4) if crd else v.transpose(0, 3, 5, 1, 2, 4)
+        return nchw(v.reshape(n, c * bs * bs, h // bs, w // bs))
     xn = x.x
     n, h, w, c = xn.shape
-    out = xn.reshape(n, h // bs, bs, w // bs, bs, c).transpose(0, 2, 4, 5, 1, 3)
-    return nchw(out.reshape(n, bs * bs * c, h // bs, w // bs))
+    v = xn.reshape(n, h // bs, bs, w // bs, bs, c)
+    v = v.transpose(0, 5, 2, 4, 1, 3) if crd else v.transpose(0, 2, 4, 5, 1, 3)
+    return nchw(v.reshape(n, bs * bs * c, h // bs, w // bs))
 
 
 @register_op("DepthToSpace")
 def lower_depth_to_space(ctx: LowerCtx, x: TArr):
+    """Inverse of SpaceToDepth; mode CRD = torch pixel_shuffle."""
     bs = ctx.params["block_size"]
+    crd = ctx.params.get("mode", "DCR") == "CRD"
     xn = as_nhwc(x)
     n, h, w, c = xn.shape
-    out = xn.reshape(n, h, w, bs, bs, c // (bs * bs)).transpose(0, 1, 3, 2, 4, 5)
-    return nhwc(out.reshape(n, h * bs, w * bs, c // (bs * bs)))
+    c2 = c // (bs * bs)
+    if crd:
+        out = xn.reshape(n, h, w, c2, bs, bs).transpose(0, 1, 4, 2, 5, 3)
+    else:
+        out = xn.reshape(n, h, w, bs, bs, c2).transpose(0, 1, 3, 2, 4, 5)
+    return nhwc(out.reshape(n, h * bs, w * bs, c2))
 
 
 @register_op("Reorg")
