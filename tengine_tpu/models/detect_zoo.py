@@ -385,3 +385,161 @@ def ultraface_priors(img_h=240, img_w=320):
                         s / img_h,
                     ])
     return np.asarray(priors, np.float32)
+
+
+# ---------------------------------------------------------------------------
+# HRNet-style pose net (test_model_hrnet.cpp): parallel high/low-resolution
+# branches with exchange units; heatmaps stay at /4 the whole way.
+# ---------------------------------------------------------------------------
+
+
+def HRNetSmall(num_joints: int = 16, width: int = 18):
+    torch, nn = _torch()
+
+    def conv_bn(ci, co, k=3, s=1, act=True):
+        mods = [nn.Conv2d(ci, co, k, s, k // 2, bias=False), nn.BatchNorm2d(co)]
+        if act:
+            mods.append(nn.ReLU())
+        return nn.Sequential(*mods)
+
+    class Basic(nn.Module):
+        def __init__(self, c):
+            super().__init__()
+            self.c1 = conv_bn(c, c)
+            self.c2 = conv_bn(c, c, act=False)
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            return self.relu(x + self.c2(self.c1(x)))
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(conv_bn(3, w, s=2), conv_bn(w, w, s=2))
+            self.hr1 = nn.Sequential(Basic(w), Basic(w))
+            self.make_lr = conv_bn(w, w * 2, s=2)
+            self.hr2 = nn.Sequential(Basic(w), Basic(w))
+            self.lr2 = nn.Sequential(Basic(w * 2), Basic(w * 2))
+            # exchange unit
+            self.lr_to_hr = nn.Sequential(
+                nn.Conv2d(w * 2, w, 1, bias=False), nn.BatchNorm2d(w),
+                nn.Upsample(scale_factor=2, mode="nearest"),
+            )
+            self.hr_to_lr = conv_bn(w, w * 2, s=2, act=False)
+            self.relu = nn.ReLU()
+            self.hr3 = nn.Sequential(Basic(w), Basic(w))
+            self.lr3 = nn.Sequential(Basic(w * 2), Basic(w * 2))
+            self.final_fuse = nn.Sequential(
+                nn.Conv2d(w * 2, w, 1, bias=False), nn.BatchNorm2d(w),
+                nn.Upsample(scale_factor=2, mode="nearest"),
+            )
+            self.head = nn.Conv2d(w, num_joints, 1)
+
+        def forward(self, x):
+            x = self.stem(x)                      # /4, w
+            hr = self.hr1(x)
+            lr = self.make_lr(hr)                 # /8, 2w
+            hr, lr = self.hr2(hr), self.lr2(lr)
+            hr2 = self.relu(hr + self.lr_to_hr(lr))
+            lr2 = self.relu(lr + self.hr_to_lr(hr))
+            hr3, lr3 = self.hr3(hr2), self.lr3(lr2)
+            fused = self.relu(hr3 + self.final_fuse(lr3))
+            return self.head(fused)               # [N, J, H/4, W/4]
+
+    return Net().eval()
+
+
+def build_hrnet_graph(num_joints=16, img=256, width=18):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = HRNetSmall(num_joints, width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "hrnet"
+    return m, optimize(g)
+
+
+# ---------------------------------------------------------------------------
+# YOLACT-style instance segmentation (test_model_yolact.cpp): FPN backbone,
+# protonet mask prototypes, per-anchor (cls, box, mask-coefficient) heads;
+# masks assemble on the host as sigmoid(proto @ coeffs).
+# ---------------------------------------------------------------------------
+
+
+def Yolact(num_classes: int = 81, num_protos: int = 32, anchors: int = 3,
+           width: int = 32):
+    torch, nn = _torch()
+
+    def conv_bn(ci, co, k=3, s=1):
+        return nn.Sequential(
+            nn.Conv2d(ci, co, k, s, k // 2, bias=False),
+            nn.BatchNorm2d(co), nn.ReLU(),
+        )
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = conv_bn(3, w, s=2)
+            self.c3 = nn.Sequential(conv_bn(w, w * 2, s=2), conv_bn(w * 2, w * 2),
+                                    conv_bn(w * 2, w * 2, s=2))       # /8
+            self.c4 = nn.Sequential(conv_bn(w * 2, w * 4, s=2), conv_bn(w * 4, w * 4))  # /16
+            self.c5 = nn.Sequential(conv_bn(w * 4, w * 8, s=2), conv_bn(w * 8, w * 8))  # /32
+            f = w * 4
+            self.lat3 = nn.Conv2d(w * 2, f, 1)
+            self.lat4 = nn.Conv2d(w * 4, f, 1)
+            self.lat5 = nn.Conv2d(w * 8, f, 1)
+            self.up = nn.Upsample(scale_factor=2, mode="nearest")
+            self.smooth = nn.ModuleList(conv_bn(f, f) for _ in range(3))
+            self.proto = nn.Sequential(
+                conv_bn(f, f), conv_bn(f, f),
+                nn.Upsample(scale_factor=2, mode="nearest"),
+                conv_bn(f, f), nn.Conv2d(f, num_protos, 1),
+            )
+            self.tower = conv_bn(f, f)
+            self.cls = nn.Conv2d(f, anchors * num_classes, 3, 1, 1)
+            self.box = nn.Conv2d(f, anchors * 4, 3, 1, 1)
+            self.coef = nn.Conv2d(f, anchors * num_protos, 3, 1, 1)
+
+        def forward(self, x):
+            x = self.stem(x)
+            c3 = self.c3(x)
+            c4 = self.c4(c3)
+            c5 = self.c5(c4)
+            p5 = self.lat5(c5)
+            p4 = self.smooth[1](self.lat4(c4) + self.up(p5))
+            p3 = self.smooth[0](self.lat3(c3) + self.up(p4))
+            proto = self.proto(p3)                 # [N, protos, H/4, W/4]
+            outs = [proto]
+            for p in (p3, p4, p5):
+                t = self.tower(p)
+                outs += [self.cls(t), self.box(t), self.coef(t)]
+            return tuple(outs)
+
+    return Net().eval()
+
+
+def build_yolact_graph(num_classes=81, img=256, width=32):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = Yolact(num_classes, width=width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "yolact"
+    return m, optimize(g)
+
+
+def assemble_yolact_masks(proto: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
+    """Host mask assembly: sigmoid(proto^T @ coeffs) per detection
+    (yolact's linear-combination head). proto [P,H,W], coeffs [M,P] ->
+    masks [M,H,W] in (0,1)."""
+    p, h, w = proto.shape
+    m = coeffs @ proto.reshape(p, -1)
+    return (1.0 / (1.0 + np.exp(-m))).reshape(-1, h, w)

@@ -104,3 +104,53 @@ def test_ultraface_decode_shapes():
     assert scores.shape[1] == boxes.shape[1] == priors.shape[0]
     dets = decode_ultraface(scores, boxes, priors, score_threshold=0.0)
     assert dets.shape[1] == 5
+
+
+def test_hrnet_fp32_matches_torch():
+    from tengine_tpu.models.detect_zoo import build_hrnet_graph
+
+    torch.manual_seed(0)
+    m, g = build_hrnet_graph(img=64)
+    x = np.random.default_rng(0).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        exp = m(torch.from_numpy(x)).numpy()
+    (got,) = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    assert got.reshape(exp.shape).shape == (1, 16, 16, 16)  # J, /4, /4
+    np.testing.assert_allclose(got.reshape(exp.shape), exp, rtol=1e-3, atol=1e-4)
+
+
+def test_yolact_fp32_and_mask_assembly():
+    from tengine_tpu.models.detect_zoo import assemble_yolact_masks, build_yolact_graph
+
+    torch.manual_seed(0)
+    m, g = build_yolact_graph(img=64)
+    x = np.random.default_rng(0).standard_normal((1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        exp = [e.numpy() for e in m(torch.from_numpy(x))]
+    got = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    assert len(got) == 10  # proto + 3 levels x (cls, box, coef)
+    for a, b in zip(got, exp):
+        np.testing.assert_allclose(a.reshape(b.shape), b, rtol=1e-3, atol=1e-4)
+    proto = got[0].reshape(exp[0].shape)[0]          # [P, H/4, W/4]
+    coeffs = np.random.default_rng(1).standard_normal((5, proto.shape[0])).astype(np.float32)
+    masks = assemble_yolact_masks(proto, coeffs)
+    assert masks.shape == (5, proto.shape[1], proto.shape[2])
+    assert (masks > 0).all() and (masks < 1).all()
+
+
+def test_yolov4_tiny_darknet_build_and_run():
+    """yolov4-tiny from its cfg through the darknet front-end: CSP grouped
+    routes, two yolo heads (strides 32/16), host decode."""
+    from tengine_tpu.models.darknet_zoo import (
+        build_yolov4_tiny_graph,
+        decode_darknet_yolo,
+    )
+
+    g = build_yolov4_tiny_graph(img=160)
+    yolo = [n for n in g.nodes if n.op == "Dropout" and "classes" in n.params]
+    assert [n.params["mask"] for n in yolo] == [[3, 4, 5], [1, 2, 3]]
+    x = np.random.default_rng(0).standard_normal((1, 3, 160, 160)).astype(np.float32)
+    outs = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    assert [o.shape[-1] for o in outs] == [5, 10]    # strides 32, 16
+    dets = decode_darknet_yolo(outs, [n.params for n in yolo], 160, 0.3)
+    assert dets.shape[1] == 6
