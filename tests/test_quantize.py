@@ -217,3 +217,23 @@ def test_bf16_storage_bit_identical(model, scheme, rng):
     for av, bv in zip(a, b):
         assert bv.dtype == av.dtype
         np.testing.assert_array_equal(av, bv)
+
+
+def test_top1_agreement_metric():
+    """quant_tool's top-1 agreement (the measurable stand-in for
+    BASELINE.json's top-1 Δ vs FP32): int8 MinMax on squeezenet keeps the
+    fp32 argmax on every calibration input."""
+    import sys
+
+    sys.path.insert(0, "tools")
+    from quant_tool import top1_agreement
+
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.quantize.quantizer import quantize_graph
+
+    g = load_benchmark_model("squeezenet_v1.1", fill_missing_weights="random")
+    rng = np.random.default_rng(0)
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    calib = [rng.standard_normal(shape).astype(np.float32) for _ in range(4)]
+    qg = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+    assert top1_agreement(g, qg, calib) == 100.0

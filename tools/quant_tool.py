@@ -85,6 +85,31 @@ def cosine_report(g, qg, x):
         print(f"{t.name[:40]:40} {cos:8.4f}")
 
 
+def top1_agreement(g, qg, inputs):
+    """Top-1 agreement fp32 vs quantized over the calibration set — the
+    measurable stand-in for BASELINE.json's 'top-1 Δ vs FP32 at the same
+    bit-width' when no labeled dataset is wired in: a quantization whose
+    argmax matches fp32 on every input has Δtop-1 = 0 on that set."""
+    import tengine_tpu as tt
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.utils.config import Options
+
+    cg_f = tt.compile_graph(g, Options(precision="fp32"))
+    cg_q = tt.compile_graph(qg, Options(quant_mode="fast"))
+    t_in = qg.tensors[qg.input_tensors[0]]
+    match = total = 0
+    for x in inputs:
+        (yf,) = cg_f.run(x)
+        (yq,) = cg_q.run(qmath.quantize_np(x, t_in.quant, t_in.dtype))
+        af = yf.reshape(yf.shape[0], -1).argmax(axis=1)
+        aq = np.asarray(yq, np.float32).reshape(yq.shape[0], -1).argmax(axis=1)
+        match += int((af == aq).sum())
+        total += len(af)
+    pct = 100.0 * match / max(total, 1)
+    print(f"top-1 agreement fp32 vs quantized: {match}/{total} = {pct:.1f}%")
+    return pct
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-m", "--model", required=True, help="input fp32 tmfile")
@@ -137,6 +162,8 @@ def main():
 
     if args.evaluate:
         cosine_report(g, qg, calib[0])
+        if len(g.output_tensors) == 1:
+            top1_agreement(g, qg, calib)
 
 
 if __name__ == "__main__":
