@@ -17,7 +17,7 @@ from typing import Any, Dict, List, Optional, Sequence
 import numpy as np
 
 from ..graph.ir import DType, Graph, TensorType
-from ..serializer.tm2.format import ELT_SUM, ELT_PROD
+from ..serializer.tm2.format import ELT_SUM, ELT_PROD, ELT_SUM_SCALAR, ELT_PROD_SCALAR
 
 
 def from_torch(model, example_input) -> Graph:
@@ -211,16 +211,41 @@ def from_torch(model, example_input) -> Graph:
             def arg_idx(a):
                 return env[a.name]
 
+            def _scalar_of(args):
+                """(tensor, python-number) in either order, else None."""
+                a, b = args[0], args[1]
+                if isinstance(b, (int, float)):
+                    return a, float(b)
+                if isinstance(a, (int, float)):
+                    return b, float(a)
+                return None
+
             if fn in (operator.add, torch.add) or fn == "add":
-                env[node.name] = emit(
-                    "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
-                    dict(type=ELT_SUM, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
-                )[0]
+                sc = _scalar_of(node.args)
+                if sc is not None:
+                    env[node.name] = emit(
+                        "Eltwise", name, [arg_idx(sc[0])],
+                        dict(type=ELT_SUM_SCALAR, caffe_flavor=0, shift=0.0,
+                             power=1.0, scale=sc[1]),
+                    )[0]
+                else:
+                    env[node.name] = emit(
+                        "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
+                        dict(type=ELT_SUM, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
+                    )[0]
             elif fn in (operator.mul, torch.mul) or fn == "mul":
-                env[node.name] = emit(
-                    "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
-                    dict(type=ELT_PROD, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
-                )[0]
+                sc = _scalar_of(node.args)
+                if sc is not None:
+                    env[node.name] = emit(
+                        "Eltwise", name, [arg_idx(sc[0])],
+                        dict(type=ELT_PROD_SCALAR, caffe_flavor=0, shift=0.0,
+                             power=1.0, scale=sc[1]),
+                    )[0]
+                else:
+                    env[node.name] = emit(
+                        "Eltwise", name, [arg_idx(node.args[0]), arg_idx(node.args[1])],
+                        dict(type=ELT_PROD, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0),
+                    )[0]
             elif fn in (torch.cat,) or fn == "cat":
                 tensors = node.args[0]
                 axis = node.args[1] if len(node.args) > 1 else node.kwargs.get("dim", 0)

@@ -543,3 +543,217 @@ def assemble_yolact_masks(proto: np.ndarray, coeffs: np.ndarray) -> np.ndarray:
     p, h, w = proto.shape
     m = coeffs @ proto.reshape(p, -1)
     return (1.0 / (1.0 + np.exp(-m))).reshape(-1, h, w)
+
+
+# ---------------------------------------------------------------------------
+# OpenPose-style multi-stage 2-branch net (test_model_openpose.cpp): VGG
+# feature trunk, then refinement stages each emitting PAFs (2*limbs) and
+# part heatmaps (parts+1), concatenated with the trunk between stages.
+# ---------------------------------------------------------------------------
+
+
+def OpenPose(parts: int = 18, limbs: int = 19, stages: int = 2, width: int = 32):
+    torch, nn = _torch()
+
+    def convs(ci, co, n=1, k=3):
+        mods = []
+        for i in range(n):
+            mods += [nn.Conv2d(ci if i == 0 else co, co, k, 1, k // 2), nn.ReLU()]
+        return nn.Sequential(*mods)
+
+    w = width
+    paf_c, hm_c = 2 * limbs, parts + 1
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.trunk = nn.Sequential(
+                convs(3, w, 2), nn.MaxPool2d(2, 2),
+                convs(w, w * 2, 2), nn.MaxPool2d(2, 2),
+                convs(w * 2, w * 4, 2), nn.MaxPool2d(2, 2),
+                convs(w * 4, w * 4, 2),
+            )
+            feat = w * 4
+
+            def branch(cin, cout):
+                return nn.Sequential(convs(cin, w * 2, 3), nn.Conv2d(w * 2, cout, 1))
+
+            self.paf0 = branch(feat, paf_c)
+            self.hm0 = branch(feat, hm_c)
+            self.refine = nn.ModuleList()
+            for _ in range(stages - 1):
+                cin = feat + paf_c + hm_c
+                self.refine.append(nn.ModuleList([branch(cin, paf_c), branch(cin, hm_c)]))
+
+        def forward(self, x):
+            f = self.trunk(x)
+            paf, hm = self.paf0(f), self.hm0(f)
+            for pb, hb in self.refine:
+                cat = torch.cat([f, paf, hm], dim=1)
+                paf, hm = pb(cat), hb(cat)
+            return paf, hm
+
+    return Net().eval()
+
+
+def build_openpose_graph(img=368, parts=18, limbs=19, stages=2, width=32):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = OpenPose(parts, limbs, stages, width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "openpose"
+    return m, optimize(g)
+
+
+# ---------------------------------------------------------------------------
+# EfficientDet-lite style (test_model_efficientdet.c): MBConv+SE backbone,
+# BiFPN-style weighted cross-scale fusion, shared box/cls heads.
+# ---------------------------------------------------------------------------
+
+
+def EfficientDetLite(num_classes: int = 90, anchors: int = 9, width: int = 16):
+    torch, nn = _torch()
+
+    class MBConv(nn.Module):
+        def __init__(self, ci, co, stride=1, expand=4):
+            super().__init__()
+            mid = ci * expand
+            self.expand = nn.Sequential(
+                nn.Conv2d(ci, mid, 1, bias=False), nn.BatchNorm2d(mid), nn.SiLU()
+            )
+            self.dw = nn.Sequential(
+                nn.Conv2d(mid, mid, 3, stride, 1, groups=mid, bias=False),
+                nn.BatchNorm2d(mid), nn.SiLU(),
+            )
+            se = max(ci // 4, 4)
+            self.se_pool = nn.AdaptiveAvgPool2d(1)
+            self.se = nn.Sequential(
+                nn.Conv2d(mid, se, 1), nn.SiLU(), nn.Conv2d(se, mid, 1), nn.Sigmoid()
+            )
+            self.project = nn.Sequential(
+                nn.Conv2d(mid, co, 1, bias=False), nn.BatchNorm2d(co)
+            )
+            self.skip = stride == 1 and ci == co
+
+        def forward(self, x):
+            y = self.dw(self.expand(x))
+            y = y * self.se(self.se_pool(y))      # squeeze-excite broadmul
+            y = self.project(y)
+            return x + y if self.skip else y
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.stem = nn.Sequential(
+                nn.Conv2d(3, w, 3, 2, 1, bias=False), nn.BatchNorm2d(w), nn.SiLU()
+            )
+            self.b1 = nn.Sequential(MBConv(w, w * 2, 2), MBConv(w * 2, w * 2))      # /4
+            self.b2 = nn.Sequential(MBConv(w * 2, w * 4, 2), MBConv(w * 4, w * 4))  # /8  P3
+            self.b3 = nn.Sequential(MBConv(w * 4, w * 6, 2), MBConv(w * 6, w * 6))  # /16 P4
+            self.b4 = nn.Sequential(MBConv(w * 6, w * 8, 2), MBConv(w * 8, w * 8))  # /32 P5
+            f = w * 4
+            self.lat = nn.ModuleList([
+                nn.Conv2d(w * 4, f, 1), nn.Conv2d(w * 6, f, 1), nn.Conv2d(w * 8, f, 1)
+            ])
+            self.up = nn.Upsample(scale_factor=2, mode="nearest")
+            self.down = nn.MaxPool2d(3, 2, 1)
+            # BiFPN fast-attention weights are relu-normalized learned
+            # scalars — constants at inference; with the ones-init they
+            # normalize to 0.5/0.5 (a converter folds trained values the
+            # same way)
+            self.w_fuse = 0.5
+            self.fuse = nn.ModuleList(
+                nn.Sequential(
+                    nn.Conv2d(f, f, 3, 1, 1, groups=f, bias=False),
+                    nn.Conv2d(f, f, 1, bias=False), nn.BatchNorm2d(f), nn.SiLU(),
+                )
+                for _ in range(4)
+            )
+            self.cls = nn.Conv2d(f, anchors * num_classes, 3, 1, 1)
+            self.box = nn.Conv2d(f, anchors * 4, 3, 1, 1)
+
+        def forward(self, x):
+            x = self.stem(x)
+            x = self.b1(x)
+            c3 = self.b2(x)
+            c4 = self.b3(c3)
+            c5 = self.b4(c4)
+            p3, p4, p5 = self.lat[0](c3), self.lat[1](c4), self.lat[2](c5)
+            wf = self.w_fuse
+            # top-down
+            p4m = self.fuse[0](wf * p4 + wf * self.up(p5))
+            p3o = self.fuse[1](wf * p3 + wf * self.up(p4m))
+            # bottom-up
+            p4o = self.fuse[2](wf * p4m + wf * self.down(p3o))
+            p5o = self.fuse[3](wf * p5 + wf * self.down(p4o))
+            outs = []
+            for p in (p3o, p4o, p5o):
+                outs += [self.cls(p), self.box(p)]
+            return tuple(outs)
+
+    return Net().eval()
+
+
+def build_efficientdet_graph(num_classes=90, img=320, width=16):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = EfficientDetLite(num_classes, width=width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "efficientdet"
+    return m, optimize(g)
+
+
+# ---------------------------------------------------------------------------
+# Face-landmark regression (test_model_landmark.cpp: 106 points x 2 coords
+# from a mobilenet-ish backbone + FC).
+# ---------------------------------------------------------------------------
+
+
+def LandmarkNet(num_points: int = 106, width: int = 16):
+    torch, nn = _torch()
+
+    def dw_pw(ci, co, stride=1):
+        return nn.Sequential(
+            nn.Conv2d(ci, ci, 3, stride, 1, groups=ci, bias=False),
+            nn.BatchNorm2d(ci), nn.ReLU(),
+            nn.Conv2d(ci, co, 1, bias=False), nn.BatchNorm2d(co), nn.ReLU(),
+        )
+
+    w = width
+
+    class Net(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.net = nn.Sequential(
+                nn.Conv2d(3, w, 3, 2, 1, bias=False), nn.BatchNorm2d(w), nn.ReLU(),
+                dw_pw(w, w * 2, 2), dw_pw(w * 2, w * 2),
+                dw_pw(w * 2, w * 4, 2), dw_pw(w * 4, w * 4),
+                dw_pw(w * 4, w * 8, 2), dw_pw(w * 8, w * 8),
+                nn.AdaptiveAvgPool2d(1), nn.Flatten(),
+                nn.Linear(w * 8, num_points * 2),
+            )
+
+        def forward(self, x):
+            return self.net(x)
+
+    return Net().eval()
+
+
+def build_landmark_graph(num_points=106, img=160, width=16):
+    torch, _ = _torch()
+
+    from ..convert.torch_frontend import from_torch
+    from ..graph.passes import optimize
+
+    m = LandmarkNet(num_points, width)
+    g = from_torch(m, torch.zeros(1, 3, img, img))
+    g.name = "landmark"
+    return m, optimize(g)

@@ -632,8 +632,13 @@ def lower_eltwise(ctx: LowerCtx, x0: TArr, *rest: TArr):
 
     if not rest:
         # scalar variants applied with params
+        sc = ctx.params.get("scale", 0.0)
         if t == f.ELT_SUM_SCALAR:
-            return like(x0, x0.x + ctx.params.get("scale", 0.0))
+            return like(x0, x0.x + sc)
+        if t == f.ELT_PROD_SCALAR:
+            return like(x0, x0.x * sc)
+        if t == f.ELT_SUB_SCALAR:
+            return like(x0, x0.x - sc)
         raise NotImplementedError(f"eltwise type {t} with one input")
 
     x1t = rest[0]

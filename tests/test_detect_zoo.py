@@ -154,3 +154,33 @@ def test_yolov4_tiny_darknet_build_and_run():
     assert [o.shape[-1] for o in outs] == [5, 10]    # strides 32, 16
     dets = decode_darknet_yolo(outs, [n.params for n in yolo], 160, 0.3)
     assert dets.shape[1] == 6
+
+
+@pytest.mark.parametrize("name,build,shape", [
+    ("openpose", "build_openpose_graph", (1, 3, 64, 64)),
+    ("efficientdet", "build_efficientdet_graph", (1, 3, 64, 64)),
+    ("landmark", "build_landmark_graph", (1, 3, 64, 64)),
+])
+def test_batch3_fp32_matches_torch(name, build, shape):
+    import tengine_tpu.models.detect_zoo as dz
+
+    torch.manual_seed(0)
+    m, g = getattr(dz, build)(img=shape[-1])
+    x = np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    with torch.no_grad():
+        exp = m(torch.from_numpy(x))
+    exp = [e.numpy() for e in (exp if isinstance(exp, tuple) else (exp,))]
+    got = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    for a, b in zip(got, exp):
+        np.testing.assert_allclose(a.reshape(b.shape), b, rtol=1e-3, atol=1e-4)
+
+
+def test_landmark_output_contract():
+    """test_model_landmark.cpp expects 106 points x 2 = 212 values."""
+    from tengine_tpu.models.detect_zoo import build_landmark_graph
+
+    torch.manual_seed(0)
+    _, g = build_landmark_graph(img=64)
+    x = np.zeros((1, 3, 64, 64), np.float32)
+    (out,) = tt.compile_graph(g, Options(precision="fp32")).run(x)
+    assert out.reshape(1, -1).shape == (1, 212)
