@@ -1,0 +1,112 @@
+"""True multi-process distributed test — the DCN analog of the reference's
+QEMU cross-arch CI (SURVEY §4: they emulate target ISAs to test without
+hardware; we emulate a 2-host × 4-chip pod slice with two OS processes of
+4 virtual CPU devices each, joined by jax.distributed).
+
+Validates the real multi-host code path end to end:
+  * jax.distributed.initialize across processes (coordinator + worker),
+  * global_mesh() host-major device order ("model" axis stays intra-host),
+  * host_local_batch_to_global (make_array_from_process_local_data),
+  * a pjit'd TP-sharded matmul whose result matches the single-process
+    reference computation,
+  * Heartbeat liveness over the coordination service.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys, time
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from tengine_tpu.parallel.distributed import (
+    Heartbeat, global_mesh, host_local_batch_to_global, init_distributed)
+
+assert init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.local_device_count() == 4
+assert jax.device_count() == 8
+
+mesh = global_mesh(tp=4)          # (data=2, model=4); data spans "hosts"
+assert mesh.shape == {"data": 2, "model": 4}
+# model axis must be intra-host: all 4 devices of each data-row share a process
+devs = np.asarray(mesh.devices)
+for row in devs:
+    assert len({d.process_index for d in row}) == 1, "TP crossed host boundary"
+
+# each "host" contributes its own 2-row local batch (continuous batching)
+x_local = (np.arange(2 * 4, dtype=np.float32).reshape(2, 4) + 100.0 * pid)
+x_g = host_local_batch_to_global(x_local, mesh)
+assert x_g.shape == (4, 4)
+
+w_np = np.arange(16, dtype=np.float32).reshape(4, 4) / 7.0
+w = jax.device_put(w_np, NamedSharding(mesh, P(None, "model")))
+f = jax.jit(lambda x, w: (x @ w).sum(), out_shardings=NamedSharding(mesh, P()))
+got = float(f(x_g, w))
+
+x_full = np.concatenate(
+    [np.arange(8, dtype=np.float32).reshape(2, 4) + 100.0 * p for p in (0, 1)]
+)
+want = float((x_full @ w_np).sum())
+assert abs(got - want) < 1e-3 * abs(want), (got, want)
+
+hb = Heartbeat(interval_s=0.05, timeout_s=5.0)
+hb.start(); time.sleep(0.25)
+healthy, missing = hb.check_peers()
+hb.stop()
+assert healthy, missing
+print(f"WORKER_OK {pid} {got}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_distributed(tmp_path):
+    port = _free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"worker failed rc={rc}\n{out}\n{err[-2000:]}"
+        assert "WORKER_OK" in out
+    # both processes computed the identical global reduction
+    vals = {o.split()[-1] for _, o, _ in outs for o in [o.strip().splitlines()[-1]]}
+    assert len(vals) == 1, vals
