@@ -35,6 +35,22 @@ def from_torch(model, example_input) -> Graph:
     traced = fx.symbolic_trace(model)
     modules = dict(traced.named_modules())
 
+    # Shape propagation: run the example through the fx graph so every node
+    # carries meta['tensor_meta'].shape — used to pick FullyConnected (2D)
+    # vs MatMul (token tensors) for nn.Linear, like onnx2tengine's
+    # rank-dependent Gemm/MatMul split.
+    try:
+        from torch.fx.passes.shape_prop import ShapeProp
+
+        ex = example_input if hasattr(example_input, "detach") else torch.as_tensor(example_input)
+        ShapeProp(traced).propagate(ex)
+    except Exception:
+        pass
+
+    def _rank(n) -> Optional[int]:
+        tm = getattr(n, "meta", {}).get("tensor_meta")
+        return len(tm.shape) if tm is not None and hasattr(tm, "shape") else None
+
     g = Graph(name=type(model).__name__)
     env: Dict[str, int] = {}  # fx node name -> tensor idx
 
@@ -78,6 +94,14 @@ def from_torch(model, example_input) -> Graph:
             inp = g.add_node("InputOp", node.name, [], [t.idx])
             g.inputs.append(inp.idx)
             env[node.name] = t.idx
+
+        elif node.op == "get_attr":
+            # free parameters/buffers referenced directly in forward
+            # (e.g. ViT positional embeddings) become CONST tensors
+            obj = traced
+            for part in node.target.split("."):
+                obj = getattr(obj, part)
+            env[node.name] = const(node.name, obj.detach().cpu().numpy())
 
         elif node.op == "call_module":
             m = modules[node.target]
@@ -132,12 +156,33 @@ def from_torch(model, example_input) -> Graph:
                 )[0]
             elif isinstance(m, nn.Linear):
                 w = m.weight.detach().numpy()
-                ins = [xin, const(f"{name}/w", w)]
-                if m.bias is not None:
-                    ins.append(const(f"{name}/b", m.bias.detach().numpy()))
-                env[node.name] = emit(
-                    "FullyConnected", name, ins, dict(num_output=m.out_features)
-                )[0]
+                rank = _rank(node.args[0])
+                if rank is not None and rank > 2:
+                    # token tensors [B, N, C] @ W^T (+ bias broadcast) — FC
+                    # would wrongly flatten all trailing dims (fc.c flattens
+                    # to [M, K]); MatMul keeps the token axis
+                    out = emit("MatMul", name, [xin, const(f"{name}/wT", w.T)])[0]
+                    if m.bias is not None:
+                        out = emit(
+                            "Eltwise", f"{name}_bias",
+                            [out, const(f"{name}/b", m.bias.detach().numpy())],
+                            dict(type=ELT_SUM, caffe_flavor=0, shift=0.0,
+                                 power=1.0, scale=1.0),
+                        )[0]
+                    env[node.name] = out
+                else:
+                    ins = [xin, const(f"{name}/w", w)]
+                    if m.bias is not None:
+                        ins.append(const(f"{name}/b", m.bias.detach().numpy()))
+                    env[node.name] = emit(
+                        "FullyConnected", name, ins, dict(num_output=m.out_features)
+                    )[0]
+            elif isinstance(m, nn.LayerNorm):
+                ins = [xin]
+                if m.elementwise_affine:
+                    ins += [const(f"{name}/g", m.weight.detach().numpy()),
+                            const(f"{name}/b", m.bias.detach().numpy())]
+                env[node.name] = emit("LayerNorm", name, ins, dict(eps=m.eps))[0]
             elif isinstance(m, nn.MaxPool2d) or isinstance(m, nn.AvgPool2d):
                 k = m.kernel_size if isinstance(m.kernel_size, tuple) else (m.kernel_size,) * 2
                 s = m.stride if isinstance(m.stride, tuple) else (m.stride or m.kernel_size,) * 2
@@ -264,7 +309,7 @@ def from_torch(model, example_input) -> Graph:
                 env[node.name] = emit("ReLu6", name, [arg_idx(node.args[0])])[0]
             elif fn == torch.sigmoid or fn == "sigmoid" or fn == F.sigmoid:
                 env[node.name] = emit("Sigmoid", name, [arg_idx(node.args[0])])[0]
-            elif fn == F.softmax or fn == "softmax":
+            elif fn in (F.softmax, torch.softmax) or fn == "softmax":
                 axis = node.args[1] if len(node.args) > 1 else node.kwargs.get("dim", 1)
                 env[node.name] = emit("Softmax", name, [arg_idx(node.args[0])],
                                       dict(axis=axis))[0]
@@ -284,17 +329,48 @@ def from_torch(model, example_input) -> Graph:
                     "Reshape", name, [arg_idx(node.args[0])],
                     dict(shape=shape, is_onnx=1, is_mxnet=0, reverse=0),
                 )[0]
-            elif fn == "mean" and (node.args[1:] == ((2, 3),) or node.kwargs.get("dim") in ((2, 3), [2, 3])):
-                env[node.name] = emit(
-                    "Pooling", name, [arg_idx(node.args[0])],
-                    dict(alg=1, kernel_h=0, kernel_w=0, stride_h=1, stride_w=1,
-                         global_pool=1, caffe_flavor=0, pad_h0=0, pad_h1=0,
-                         pad_w0=0, pad_w1=0),
-                )[0]
+            elif fn == "mean" or fn is torch.mean:
+                dim = node.args[1] if len(node.args) > 1 else node.kwargs.get("dim")
+                if dim in ((2, 3), [2, 3]):  # spatial mean == global avg pool
+                    env[node.name] = emit(
+                        "Pooling", name, [arg_idx(node.args[0])],
+                        dict(alg=1, kernel_h=0, kernel_w=0, stride_h=1, stride_w=1,
+                             global_pool=1, caffe_flavor=0, pad_h0=0, pad_h1=0,
+                             pad_w0=0, pad_w1=0),
+                    )[0]
+                else:  # general axis mean (e.g. token pooling) -> Reduction
+                    dims = [dim] if isinstance(dim, int) else list(dim)
+                    dims = (dims + [-2, -2, -2, -2])[:4]
+                    keep = int(bool(node.kwargs.get("keepdim", False)))
+                    env[node.name] = emit(
+                        "Reduction", name, [arg_idx(node.args[0])],
+                        dict(type=1, dim_0=dims[0], dim_1=dims[1], dim_2=dims[2],
+                             dim_3=dims[3], keepdim=keep),
+                    )[0]
             elif fn == "permute":
                 order = list(node.args[1]) if isinstance(node.args[1], (tuple, list)) else list(node.args[1:])
                 env[node.name] = emit("Transpose", name, [arg_idx(node.args[0])],
                                       dict(perm=order))[0]
+            elif fn in (torch.matmul, torch.bmm) or fn in ("matmul", "bmm"):
+                env[node.name] = emit(
+                    "MatMul", name, [arg_idx(node.args[0]), arg_idx(node.args[1])]
+                )[0]
+            elif fn is torch.transpose or fn == "transpose":
+                d0, d1 = int(node.args[1]), int(node.args[2])
+                env[node.name] = emit(
+                    "SwapAxis", name, [arg_idx(node.args[0])],
+                    dict(dim_0=d0, dim_1=d1),
+                )[0]
+            elif fn == F.gelu or fn == "gelu":
+                env[node.name] = emit("Gelu", name, [arg_idx(node.args[0])])[0]
+            elif fn in (operator.truediv, torch.div) or fn == "div":
+                a, b = node.args[0], node.args[1]
+                assert isinstance(b, (int, float)), "only tensor/scalar div"
+                env[node.name] = emit(
+                    "Eltwise", name, [arg_idx(a)],
+                    dict(type=ELT_PROD_SCALAR, caffe_flavor=0, shift=0.0,
+                         power=1.0, scale=1.0 / float(b)),
+                )[0]
             elif fn == getattr(operator, "getitem", None):
                 # tensor slicing x[..., a:b:s, ...] -> StridedSlice
                 # (strided_slice.c param layout: begin/end/stride per NCHW dim)

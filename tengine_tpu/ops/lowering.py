@@ -361,7 +361,15 @@ def lower_gemm(ctx: LowerCtx, a: TArr, b: TArr, *rest: TArr):
 
 @register_op("MatMul")
 def lower_matmul(ctx: LowerCtx, a: TArr, b: TArr):
-    return wrap(jnp.matmul(as_semantic(a), as_semantic(b), preferred_element_type=jnp.float32))
+    """Batched matmul on the MXU; honors Options.precision like conv/FC
+    (attention q@k/attn@v paths go through here)."""
+    return wrap(
+        jnp.matmul(
+            as_semantic(a), as_semantic(b),
+            preferred_element_type=jnp.float32,
+            precision=mxu_precision(ctx),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
