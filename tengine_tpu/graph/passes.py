@@ -308,7 +308,11 @@ def fuse_focus(g: Graph) -> int:
                 or q.get("stride_n", 1) != 1
                 or q.get("begin_c", 0) != 0
                 or q.get("begin_n", 0) != 0
-                or any(q.get(f"end_{a}", 0) != 0 for a in "nchw")
+                # full-length slices: |end - begin| (the TM2 crop amount,
+                # strided_slice.c) must be 0 on every axis
+                or any(
+                    q.get(f"end_{a}", 0) != q.get(f"begin_{a}", 0) for a in "nchw"
+                )
             ):
                 ok = False
                 break
@@ -572,7 +576,9 @@ def stem_conv_s2d(g: Graph, max_in_c: int = 8, min_kernel: int = 4, min_hw: int 
             f"{conv.name}/s2d",
             [conv.inputs[0]],
             [s2d_out.idx],
-            params={"block_size": 2},
+            # the weight re-indexing above assumes DCR channel order; the
+            # engine default is CRD (reference parity), so say it explicitly
+            params={"block_size": 2, "mode": "DCR"},
         )
         t_in.consumers = [c for c in t_in.consumers if c != conv.idx]
         conv.inputs[0] = s2d_out.idx

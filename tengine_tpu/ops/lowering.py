@@ -69,7 +69,16 @@ def apply_activation(x: jnp.ndarray, act: int) -> jnp.ndarray:
 
 
 def compute_dtype(ctx: LowerCtx):
-    return jnp.bfloat16 if ctx.options.precision == "bf16" else jnp.float32
+    """Compute dtype for float graphs: "fp32"/"fp32_fast" -> f32 storage
+    (they differ in MXU pass count, see mxu_precision), "bf16" -> bfloat16,
+    "fp16" -> float16 (reference analog: TENGINE_MODE_FP16 kernels, e.g.
+    conv_kernel_ref_fp16.c — on TPU fp16 is storage-only; the MXU still
+    accumulates fp32)."""
+    if ctx.options.precision == "bf16":
+        return jnp.bfloat16
+    if ctx.options.precision == "fp16":
+        return jnp.float16
+    return jnp.float32
 
 
 def mxu_precision(ctx: LowerCtx):
@@ -453,8 +462,12 @@ def lower_normalize(ctx: LowerCtx, x: TArr, *rest: TArr):
 
 @register_op("L2Normalization")
 def lower_l2norm(ctx: LowerCtx, x: TArr):
+    """L2-normalize over the channel axis: the reference kernel normalizes
+    dims[1] elements (l2normalization_ref.c:115 channel_size = dims[1]),
+    i.e. the embedding axis of (N, C) / (N, C, 1, 1) heads."""
     xs = as_semantic(x)
-    norm = jax.lax.rsqrt(jnp.sum(xs * xs, axis=-1, keepdims=True) + 1e-10)
+    axis = 1 if xs.ndim > 1 else 0
+    norm = jax.lax.rsqrt(jnp.sum(xs * xs, axis=axis, keepdims=True))
     return wrap(xs * norm)
 
 
@@ -488,14 +501,17 @@ def lower_layernorm(ctx: LowerCtx, x: TArr, *rest: TArr):
 
 @register_op("MVN")
 def lower_mvn(ctx: LowerCtx, x: TArr):
+    """MVN with the reference's exact normalizer (mvn_ref.c:130-190): the
+    denominator is sqrt(E[x^2]) of the RAW input — the second moment, not
+    the centered variance — plus eps."""
     p = ctx.params
     xn = as_nchw(x)
     axes = (1, 2, 3) if p["across_channels"] else (2, 3)
     mean = jnp.mean(xn, axis=axes, keepdims=True)
     out = xn - mean
     if p["normalize_variance"]:
-        var = jnp.mean(out * out, axis=axes, keepdims=True)
-        out = out / (jnp.sqrt(var) + p["eps"])
+        sqmean = jnp.mean(xn * xn, axis=axes, keepdims=True)
+        out = out / (jnp.sqrt(sqmean) + p["eps"])
     return nchw(out)
 
 
@@ -759,17 +775,25 @@ def lower_reduction(ctx: LowerCtx, x: TArr):
     axes = tuple(d % xs.ndim for d in dims) if dims else tuple(range(xs.ndim))
     keep = bool(p.get("keepdim", 0))
     t = p.get("type", 0)
+    # Type table matches the reference RUNTIME (reduction_kernel_ref.h type
+    # dispatch), which differs from its param-header naming: type 7 is a
+    # second asum, type 8 ("l2") computes sum(sqrt(x*x)) == sum(|x|)
+    # element-wise — NOT a true L2 norm (l2_4d_ax*, reduction_kernel_ref.h:
+    # 3005-3030) — type 9 is log(sum), type 10 logsumexp. Verified against
+    # the C engine in tests/test_reference_parity_ops.py.
+    _asum = lambda a, axis, keepdims: jnp.sum(jnp.abs(a), axis=axis, keepdims=keepdims)
     fns = {
         0: jnp.sum,
         1: jnp.mean,
-        2: lambda a, axis, keepdims: jnp.sum(jnp.abs(a), axis=axis, keepdims=keepdims),
+        2: _asum,
         3: lambda a, axis, keepdims: jnp.sum(jnp.square(a), axis=axis, keepdims=keepdims),
         4: jnp.max,
         5: jnp.min,
         6: jnp.prod,
-        7: lambda a, axis, keepdims: jnp.sqrt(jnp.sum(jnp.square(a), axis=axis, keepdims=keepdims)),
-        8: lambda a, axis, keepdims: jnp.log(jnp.sum(a, axis=axis, keepdims=keepdims)),
-        9: lambda a, axis, keepdims: jnp.log(jnp.sum(jnp.exp(a), axis=axis, keepdims=keepdims)),
+        7: _asum,
+        8: _asum,  # the reference's "l2" is elementwise sqrt(x^2) summed
+        9: lambda a, axis, keepdims: jnp.log(jnp.sum(a, axis=axis, keepdims=keepdims)),
+        10: lambda a, axis, keepdims: jnp.log(jnp.sum(jnp.exp(a), axis=axis, keepdims=keepdims)),
     }
     return wrap(fns[t](xs, axis=axes, keepdims=keep))
 
@@ -926,10 +950,13 @@ def lower_slice(ctx: LowerCtx, x: TArr):
                 if sz >= 0:
                     idx[ax] = slice(b, b + sz)
             return wrap(xs[tuple(idx)])
-        b, e, st = p.get("begin", 0), p.get("end", xs.shape[axis]), p.get("step", 1) or 1
-        e = min(e, xs.shape[axis])
+        # scalar begin/end/step on one axis; end <= 0 means size + end
+        # (slice_ref.c onnx_run:stop_k = end > 0 ? end : dims[k] + end)
+        b, e, st = p.get("begin", 0), p.get("end", 0), p.get("step", 1) or 1
+        size = xs.shape[axis]
+        e = e if e > 0 else size + e
         idx = [slice(None)] * xs.ndim
-        idx[axis] = slice(b, e, st)
+        idx[axis] = slice(b, min(e, size), st)
         return wrap(xs[tuple(idx)])
     # tflite-style: begins/sizes vectors
     begins = p.get("begins") or [0] * xs.ndim
@@ -957,7 +984,12 @@ def lower_split(ctx: LowerCtx, x: TArr):
 
 @register_op("StridedSlice")
 def lower_strided_slice(ctx: LowerCtx, x: TArr):
-    """NCHW strided slice (strided_slice.c)."""
+    """NCHW strided slice with the reference's crop semantics
+    (strided_slice.c infer_shape + strided_slice_ref.c:67): per dim,
+    out = ceil((in - |end - begin|) / stride) elements taken at
+    begin + k*stride — `end - begin` is a total crop amount, NOT an
+    exclusive end index (this is how the TFLite converter encodes it;
+    begin=end=0 stride=2 is the yolov5 focus slice)."""
     p = ctx.params
     xs = as_semantic(x)
     idx = []
@@ -970,8 +1002,9 @@ def lower_strided_slice(ctx: LowerCtx, x: TArr):
         ][: xs.ndim]
     ):
         size = xs.shape[dim]
-        e = e if e != 0 else size
-        idx.append(slice(b, min(e, size), s or 1))
+        s = s or 1
+        out = max(1, -(-(size - abs(e - b)) // s))
+        idx.append(slice(b, b + (out - 1) * s + 1, s))
     return wrap(xs[tuple(idx)])
 
 
@@ -1032,13 +1065,16 @@ def lower_shufflechannel(ctx: LowerCtx, x: TArr):
 
 @register_op("SpaceToDepth")
 def lower_space_to_depth(ctx: LowerCtx, x: TArr):
-    """mode DCR (default, ONNX): channel order (dy, dx, c); mode CRD
-    (torch pixel_unshuffle): (c, dy, dx). The NCHW branch matters:
+    """mode DCR (ONNX): channel order (dy, dx, c); mode CRD (default,
+    torch pixel_unshuffle — matches the DepthToSpace default so the pair
+    round-trips; the reference's own kernel is a memcpy stub,
+    spacetodepth_ref.c, so there is no C-runtime constraint here).
+    The NCHW branch matters:
     transposing to NHWC first makes XLA materialize the 6-D shuffle as
     three relayout copies (~14% of yolov5s stem time); in the source layout
     it folds into the consuming conv."""
     bs = ctx.params["block_size"]
-    crd = ctx.params.get("mode", "DCR") == "CRD"
+    crd = ctx.params.get("mode", "CRD") == "CRD"
     if x.layout != "NHWC":
         xs = x.x
         n, c, h, w = xs.shape
@@ -1054,9 +1090,12 @@ def lower_space_to_depth(ctx: LowerCtx, x: TArr):
 
 @register_op("DepthToSpace")
 def lower_depth_to_space(ctx: LowerCtx, x: TArr):
-    """Inverse of SpaceToDepth; mode CRD = torch pixel_shuffle."""
+    """Inverse of SpaceToDepth; mode CRD = torch pixel_shuffle. Default is
+    CRD because that is what the reference runtime computes for tmfile
+    graphs (depthtospace_ref.c hardcodes the CRD index map; the DCR branch
+    is commented out there). ONNX-imported graphs carry an explicit mode."""
     bs = ctx.params["block_size"]
-    crd = ctx.params.get("mode", "DCR") == "CRD"
+    crd = ctx.params.get("mode", "CRD") == "CRD"
     xn = as_nhwc(x)
     n, h, w, c = xn.shape
     c2 = c // (bs * bs)
@@ -1069,21 +1108,49 @@ def lower_depth_to_space(ctx: LowerCtx, x: TArr):
 
 @register_op("Reorg")
 def lower_reorg(ctx: LowerCtx, x: TArr):
-    """YOLO reorg (reorg_ref.c): NCHW space-to-depth with channel-major
-    ordering."""
+    """YOLO reorg with darknet's inverse ("backward") index map, which the
+    reference replicates exactly (reorg_ref.c:out_data[in_index] =
+    in_data[out_index]): for each INPUT element at (b, k, j, i) of the
+    (n, c_out*s*s, h_out, w_out)-shaped output, the value comes from input
+    position (b, k % c_out, j*s + (k//c_out) % s ... ) — equivalently, the
+    output is the gather below. Verified vs the C engine (parity suite)."""
     s = ctx.params["stride"]
     xs = as_nchw(x)
     n, c, h, w = xs.shape
-    out = xs.reshape(n, c, h // s, s, w // s, s)
-    out = out.transpose(0, 3, 5, 1, 2, 4).reshape(n, c * s * s, h // s, w // s)
-    return nchw(out)
+    oc = c // (s * s)
+    # reorg_ref.c:44-60 — a flat-buffer reinterpretation dance:
+    #   out_flat[(k*h + j)*w + i] = in_flat[(c2*(h*s) + h2)*(w*s) + w2]
+    # with k<c, j<h, i<w, c2 = k % oc, off = k // oc,
+    # h2 = j*s + off//s, w2 = i*s + off%s; the result buffer is then READ
+    # as (n, c*s*s, h//s, w//s). Equivalent gather below.
+    xv = xs.reshape(n, oc, h * s, w * s)
+    k = jnp.arange(c)
+    c2 = k % oc
+    off = k // oc
+    j = jnp.arange(h)
+    i = jnp.arange(w)
+    h2 = j[None, :] * s + (off // s)[:, None]  # [c, h]
+    w2 = i[None, :] * s + (off % s)[:, None]  # [c, w]
+    tmp = xv[:, c2[:, None, None], h2[:, :, None], w2[:, None, :]]  # (n,c,h,w)
+    return nchw(tmp.reshape(n, c * s * s, h // s, w // s))
 
 
 @register_op("Tile")
 def lower_tile(ctx: LowerCtx, x: TArr):
-    reps = ctx.params.get("reps") or []
+    """Tile with the reference's conventions (tile_ref.c): `reps` is stored
+    reversed (reps[0] repeats W, reps[-1] repeats N); frame_flag 0 (caffe)
+    repeats each ELEMENT along the axis (np.repeat), frame_flag 1 (onnx)
+    tiles whole blocks (np.tile)."""
+    reps = list(ctx.params.get("reps") or [])
     xs = as_semantic(x)
     if not reps:
+        return wrap(xs)
+    reps = reps[::-1]
+    reps = [1] * (xs.ndim - len(reps)) + reps if len(reps) < xs.ndim else reps[-xs.ndim:]
+    if ctx.params.get("frame_flag", 0) == 0:  # caffe: per-element repeat
+        for ax, r in enumerate(reps):
+            if r != 1:
+                xs = jnp.repeat(xs, r, axis=ax)
         return wrap(xs)
     return wrap(jnp.tile(xs, reps))
 

@@ -80,7 +80,14 @@ def host_local_batch_to_global(x: np.ndarray, mesh) -> jax.Array:
 
 class Heartbeat:
     """Per-host liveness for failure detection (no reference analog —
-    SURVEY §5 row 'Failure detection')."""
+    SURVEY §5 row 'Failure detection').
+
+    Each process's beat thread publishes `/tt/heartbeat/<pid>/<ns>` keys into
+    the jax.distributed coordination KV store; `check_peers` lists the whole
+    `/tt/heartbeat/` directory and reports any expected process whose newest
+    key is older than `timeout_s` (or absent entirely). A dead process stops
+    publishing, so survivors detect it within one timeout window — exercised
+    by killing a worker in tests/test_multiprocess.py."""
 
     def __init__(self, interval_s: float = 5.0, timeout_s: float = 15.0):
         self.interval_s = interval_s
@@ -91,6 +98,9 @@ class Heartbeat:
         self._client = getattr(
             getattr(jax._src, "distributed", None), "global_state", None
         )
+        # wall-clock offset baseline so peers' time_ns keys compare against
+        # our clock (hosts in one job are NTP-close; timeout_s >> skew)
+        self._t0_ns = time.time_ns()
 
     def start(self):
         self._running = True
@@ -120,16 +130,44 @@ class Heartbeat:
             self._last_seen[pid] = time.time()
             time.sleep(self.interval_s)
 
+    def peer_last_seen(self) -> dict:
+        """Newest heartbeat timestamp (seconds, this host's clock domain)
+        per process id, read from the coordination KV store."""
+        client = self._kv()
+        seen = dict(self._last_seen)
+        if client is None:
+            return seen
+        try:
+            entries = client.key_value_dir_get("/tt/heartbeat/")
+        except Exception:
+            return seen
+        for key, _val in entries:
+            # key layout: /tt/heartbeat/<pid>/<time_ns>  (dir_get may return
+            # either the full path or the path relative to the prefix)
+            parts = [p for p in str(key).split("/") if p]
+            if len(parts) < 2:
+                continue
+            try:
+                pid = int(parts[-2])
+                ts = int(parts[-1]) / 1e9
+            except ValueError:
+                continue
+            if ts > seen.get(pid, 0.0):
+                seen[pid] = ts
+        return seen
+
     def check_peers(self) -> Tuple[bool, list]:
         """Returns (healthy, missing_process_ids). Single-process: always
-        healthy. Multi-process: peers missing a heartbeat within timeout_s
+        healthy. Multi-process: every expected process id (0..process_count)
+        must have a KV heartbeat newer than timeout_s; missing/stale peers
         are reported for supervisor restart."""
         if jax.process_count() == 1:
             return True, []
         now = time.time()
+        seen = self.peer_last_seen()
         missing = [
             p
-            for p, t in self._last_seen.items()
-            if now - t > self.timeout_s
+            for p in range(jax.process_count())
+            if now - seen.get(p, 0.0) > self.timeout_s
         ]
         return not missing, missing

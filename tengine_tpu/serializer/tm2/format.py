@@ -157,8 +157,10 @@ UNARY_NAMES = {
     12: "asin", 13: "acos", 14: "atan", 15: "reciprocal", 16: "tanh",
 }
 
-# Reduction sub-types (operator/prototype/reduction_param.h)
+# Reduction sub-types — numbered per the reference RUNTIME dispatch
+# (reduction_kernel_ref.h), not its param-header comments: 7 duplicates asum,
+# 8 ("l2") is elementwise sqrt(x^2) summed == asum, 9 log(sum), 10 logsumexp.
 REDUCE_NAMES = {
     0: "sum", 1: "mean", 2: "asum", 3: "sqsum", 4: "max", 5: "min",
-    6: "prod", 7: "l2", 8: "logsum", 9: "logsumexp",
+    6: "prod", 7: "asum2", 8: "l2", 9: "logsum", 10: "logsumexp",
 }

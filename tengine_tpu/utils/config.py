@@ -26,7 +26,10 @@ def _env_flag(name: str, default: bool = False) -> bool:
 class Options:
     """Per-run execution options.
 
-    precision: "fp32" | "bf16" | "fp16" — compute dtype for float graphs.
+    precision: "fp32" | "fp32_fast" | "bf16" | "fp16" — compute dtype for
+        float graphs. "fp32" uses the multi-pass MXU decomposition (HIGHEST);
+        "fp32_fast" keeps fp32 storage with one-pass bf16 MXU inputs; "bf16"
+        and "fp16" use 16-bit storage with fp32 MXU accumulation.
     quant_mode: "auto"  — quantized tmfile runs quantized, float runs float;
                 "ref"   — quantized graphs use the bit-faithful
                           dequant→fp32→requant reference semantics

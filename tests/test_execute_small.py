@@ -243,3 +243,19 @@ def test_force_ref_kernels_same_result(rng):
     s2 = compile_graph(g, Options(force_ref_kernels=True))
     x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
     np.testing.assert_allclose(s1.run(x)[0], s2.run(x)[0], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("precision,tol", [("fp32_fast", 2e-2), ("bf16", 3e-2), ("fp16", 1e-2)])
+def test_reduced_precision_tolerance(precision, tol, rng):
+    """Half-precision float parity (VERDICT r1 item 8): fp16/bf16 storage
+    with fp32 MXU accumulation must track fp32 within reduced-precision
+    tolerance on a conv graph (reference analog: conv_kernel_ref_fp16.c)."""
+    g, w, b = make_conv_graph((2, 3, 16, 16), out_c=8, rng=rng)
+    x = rng.standard_normal((2, 3, 16, 16)).astype(np.float32)
+    (ref,) = compile_graph(g, Options(precision="fp32")).run(x)
+    (out,) = compile_graph(g, Options(precision=precision)).run(x)
+    assert out.dtype == np.float16 if precision == "fp16" else True
+    scale = np.abs(ref).max()
+    np.testing.assert_allclose(
+        out.astype(np.float32), ref, atol=tol * scale, rtol=tol
+    )

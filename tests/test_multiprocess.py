@@ -70,6 +70,43 @@ print(f"WORKER_OK {pid} {got}", flush=True)
 """
 
 
+_DEAD_PEER_WORKER = r"""
+import os, sys, time
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+from tengine_tpu.parallel.distributed import Heartbeat, init_distributed
+
+assert init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+kv = jax._src.distributed.global_state.client
+hb = Heartbeat(interval_s=0.1, timeout_s=1.2)
+hb.start()
+time.sleep(0.6)   # both peers publish a few beats
+
+if pid == 1:
+    # wedge: the process stays up (so jax's own crash propagation stays
+    # quiet) but stops publishing heartbeats — the hung-host failure mode
+    # only our Heartbeat can see. Wait for the survivor's verdict, then exit.
+    hb.stop()
+    kv.blocking_key_value_get("/tt/test/done", 60_000)
+    sys.exit(0)
+
+# survivor: peer 1 was beating moments ago...
+healthy, missing = hb.check_peers()
+assert healthy, f"peer should still look alive: {missing}"
+# ...then goes silent; detect within one timeout window
+time.sleep(2.5)
+healthy, missing = hb.check_peers()
+hb.stop()
+kv.key_value_set("/tt/test/done", "1")
+assert not healthy and missing == [1], (healthy, missing)
+print("DETECT_OK", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -110,3 +147,36 @@ def test_two_process_distributed(tmp_path):
     # both processes computed the identical global reduction
     vals = {o.split()[-1] for _, o, _ in outs for o in [o.strip().splitlines()[-1]]}
     assert len(vals) == 1, vals
+
+
+def test_heartbeat_detects_dead_peer(tmp_path):
+    """Kill one worker mid-job; the survivor's Heartbeat.check_peers must
+    report it missing (VERDICT r1 item 5 — failure detection for real)."""
+    port = _free_port()
+    script = tmp_path / "worker_dead_peer.py"
+    script.write_text(_DEAD_PEER_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("dead-peer worker timed out")
+        outs.append((p.returncode, out, err))
+    rc0, out0, err0 = outs[0]
+    assert rc0 == 0, f"survivor failed rc={rc0}\n{out0}\n{err0[-2000:]}"
+    assert "DETECT_OK" in out0

@@ -118,7 +118,9 @@ def test_mvn_vs_numpy(across, normvar, rng):
     axes = (1, 2, 3) if across else (2, 3)
     ref = x - x.mean(axis=axes, keepdims=True)
     if normvar:
-        ref = ref / (np.sqrt((ref * ref).mean(axis=axes, keepdims=True)) + 1e-9)
+        # the reference normalizes by sqrt(E[x^2]) of the RAW input — the
+        # second moment, not centered variance (mvn_ref.c:130-190)
+        ref = ref / (np.sqrt((x * x).mean(axis=axes, keepdims=True)) + 1e-9)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=ATOL)
 
 
@@ -162,8 +164,12 @@ RED_CASES = [
     (4, lambda t, d, k: t.amax(dim=d, keepdim=k)),
     (5, lambda t, d, k: t.amin(dim=d, keepdim=k)),
     (6, lambda t, d, k: t.prod(dim=d[0], keepdim=k)),
-    (7, lambda t, d, k: torch.linalg.vector_norm(t, dim=d, keepdim=k)),
-    (9, lambda t, d, k: t.logsumexp(dim=d, keepdim=k)),
+    # 7/8 are both sum(|x|) in the reference runtime ("l2" there is
+    # elementwise sqrt(x^2) summed, reduction_kernel_ref.h:3005); 9 is
+    # log(sum) and 10 logsumexp
+    (7, lambda t, d, k: t.abs().sum(dim=d, keepdim=k)),
+    (8, lambda t, d, k: t.abs().sum(dim=d, keepdim=k)),
+    (10, lambda t, d, k: t.logsumexp(dim=d, keepdim=k)),
 ]
 
 
@@ -314,10 +320,10 @@ def test_pad_vs_torch(mode, torch_mode, rng):
 
 
 def test_depth_to_space_vs_numpy(rng):
-    """TF-style DCR depth_to_space in NHWC semantics (the reference's
-    depthtospace_ref.c operates on NCHW graphs imported from TF models)."""
+    """TF-style DCR depth_to_space in NHWC semantics (explicit mode; the
+    tmfile default is CRD to match depthtospace_ref.c — see parity suite)."""
     x = rng.standard_normal((1, 8, 3, 3)).astype(np.float32)
-    g = _simple_graph("DepthToSpace", dict(block_size=2), [(1, 8, 3, 3)])
+    g = _simple_graph("DepthToSpace", dict(block_size=2, mode="DCR"), [(1, 8, 3, 3)])
     out = run_graph(g, x)
     xn = x.transpose(0, 2, 3, 1)  # NHWC
     n, h, w, c = xn.shape
@@ -341,22 +347,30 @@ def test_space_to_depth_roundtrips_depth_to_space(rng):
 
 
 def test_reorg_vs_numpy(rng):
-    """YOLOv2 reorg (reorg_ref.c loop)."""
+    """YOLOv2 reorg — literal transcription of the reference's flat-buffer
+    loop (reorg_ref.c:44-60, darknet "backward" flavor): the output buffer
+    is written with the INPUT's (c,h,w) strides and read back as
+    (c*s*s, h/s, w/s); the input buffer is read as (c/s², h*s, w*s)."""
     s = 2
     x = rng.standard_normal((1, 4, 6, 6)).astype(np.float32)
     g = _simple_graph("Reorg", dict(stride=s), [(1, 4, 6, 6)])
     out = np.asarray(run_graph(g, x))
     n, c, h, w = x.shape
-    ref = np.zeros((n, c * s * s, h // s, w // s), np.float32)
+    oc = c // (s * s)
+    in_flat = x.ravel()
+    out_flat = np.zeros(x.size, np.float32)
     for b in range(n):
-        for k in range(c * s * s):
-            for j in range(h // s):
-                for i in range(w // s):
-                    c2 = k % c
-                    offset = k // c
+        for k in range(c):
+            for j in range(h):
+                for i in range(w):
+                    in_index = i + w * (j + h * (k + c * b))
+                    c2 = k % oc
+                    offset = k // oc
                     w2 = i * s + offset % s
                     h2 = j * s + offset // s
-                    ref[b, k, j, i] = x[b, c2, h2, w2]
+                    out_index = w2 + w * s * (h2 + h * s * (c2 + oc * b))
+                    out_flat[in_index] = in_flat[out_index]
+    ref = out_flat.reshape(n, c * s * s, h // s, w // s)
     np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-7)
 
 
@@ -382,8 +396,15 @@ def test_gather_vs_torch(rng):
 
 
 def test_tile_expand_vs_numpy(rng):
+    # tile_ref.c conventions: reps is reversed (reps[0] repeats the LAST
+    # axis); caffe flavor (flag 0) repeats elements, onnx flavor (flag 1)
+    # tiles blocks
     x = rng.standard_normal((2, 1, 3)).astype(np.float32)
-    g = _simple_graph("Tile", dict(frame_flag=0, reps_size=3, reps=[1, 4, 2]),
+    g = _simple_graph("Tile", dict(frame_flag=0, reps_size=3, reps=[2, 4, 1]),
+                      [(2, 1, 3)])
+    want = np.repeat(np.repeat(x, 4, axis=1), 2, axis=2)
+    np.testing.assert_allclose(run_graph(g, x), want, rtol=1e-6, atol=1e-7)
+    g = _simple_graph("Tile", dict(frame_flag=1, reps_size=3, reps=[2, 4, 1]),
                       [(2, 1, 3)])
     np.testing.assert_allclose(run_graph(g, x), np.tile(x, (1, 4, 2)),
                                rtol=1e-6, atol=1e-7)

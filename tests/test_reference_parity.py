@@ -5,8 +5,9 @@ runtime (libtengine-lite.so via pytengine ctypes) and require the outputs to
 match. This validates both TM2 writer format compatibility (the reference
 parses our files) and kernel numerics (SURVEY §4 oracle #2).
 
-Skipped unless the reference library is built; `tools/build_reference.sh`
-builds it out-of-tree (the reference mount is read-only).
+The library is built on demand by the session-scoped `ref_lib` fixture
+(conftest.py, `tools/build_reference.sh`) so the suite runs in a stock
+`pytest` invocation and never silently skips.
 """
 
 import os
@@ -19,9 +20,10 @@ import pytest
 REF_LIB_DIR = os.environ.get("TENGINE_REF_BUILD", "/tmp/tengine-build/source")
 REF_LIB = os.path.join(REF_LIB_DIR, "libtengine-lite.so")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(REF_LIB), reason="reference libtengine-lite.so not built"
-)
+
+@pytest.fixture(scope="module", autouse=True)
+def _need_ref(ref_lib):
+    """Every test in this module drives the real C engine."""
 
 _RUNNER = r"""
 import sys, os, json
@@ -378,3 +380,35 @@ def test_yolov5s_tmfile_runs_in_reference(tmp_path, rng):
     cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.9999, f"cosine {cos}"
     assert np.abs(a - b).max() < 0.05 * b.std()
+
+
+@pytest.mark.parametrize("net", ["squeezenet_v1.1", "mobilenetv1"])
+def test_uint8_fullnet_parity(net, tmp_path, rng):
+    """Full-net quantized parity (VERDICT r1 item 3): quantize a whole
+    benchmark net to asymmetric uint8 with our calibrator, write the tmfile,
+    run it through the reference's C uint8 kernels, and require <=1 LSB
+    element agreement + identical top-1 against our fast MXU path."""
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+
+    g = load_benchmark_model(net, fill_missing_weights="random")
+    for tid in g.input_tensors:
+        g.tensors[tid].shape = [1, 3, 64, 64]
+    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32) for _ in range(2)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+
+    ours = compile_graph(qg, Options(quant_mode="fast")).run(xq)[0]
+    ref = run_reference(_save(qg, tmp_path), xq, tmp_path)
+    assert ref.dtype == np.uint8, ref.dtype
+    ref = ref.reshape(ours.shape)
+    diff = np.abs(ours.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, f"max LSB diff {diff.max()} ({(diff > 1).mean():.4%} > 1)"
+    # top-1 must agree, modulo exact ties at the same quantized level
+    # (random weights make many logits collide within 1 LSB)
+    ai, ar = int(np.argmax(ours)), int(np.argmax(ref))
+    assert ai == ar or int(ref.ravel()[ai]) >= int(ref.max()) - 1, (ai, ar)
