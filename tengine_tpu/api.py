@@ -44,8 +44,19 @@ def register_custom_op(
     TArr output(s) — see ops/lowering.py for examples. Higher score wins
     selection (SCORE_* constants in ops/registry.py), mirroring the
     reference's score-based kernel dispatch (cpu_module.c:135-170).
+
+    Returns an unregister callable (remove_custom_kernel analog,
+    cpu_module.c:187-216) — call it to drop the kernel again.
     """
     register_op(op_name, score=score, predicate=predicate, quant=quant)(lower_fn)
+
+    def unregister():
+        from .ops.registry import _REGISTRY
+
+        kernels = _REGISTRY.get(op_name, [])
+        _REGISTRY[op_name] = [k for k in kernels if k.fn is not lower_fn]
+
+    return unregister
 
 
 _LOADED_PLUGINS = {}

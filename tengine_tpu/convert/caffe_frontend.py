@@ -237,7 +237,8 @@ def from_caffe(prototxt: str, caffemodel: Optional[bytes] = None,
             n = g.add_node("InputOp", name, [], [t.idx])
             g.inputs.append(n.idx)
             env[tops[0]] = t.idx
-        elif ltype in ("Convolution", "Deconvolution", "DepthwiseConvolution"):
+        elif ltype in ("Convolution", "Deconvolution", "DeConvolution",
+                       "DepthwiseConvolution", "ConvolutionDepthwise"):
             p = L.get("convolution_param", {})
             kh, kw = _pair(p, "kernel_size")
             sh, sw = _pair(p, "stride", 1)
@@ -251,8 +252,8 @@ def from_caffe(prototxt: str, caffemodel: Optional[bytes] = None,
             ins = [env[bottoms[0]], const(f"{name}/w", w)]
             if bool(p.get("bias_term", True)) and len(wb) > 1:
                 ins.append(const(f"{name}/b", wb[1].reshape(-1)))
-            op = "Deconvolution" if ltype == "Deconvolution" else "Convolution"
-            if ltype == "DepthwiseConvolution":
+            op = "Deconvolution" if ltype in ("Deconvolution", "DeConvolution") else "Convolution"
+            if ltype in ("DepthwiseConvolution", "ConvolutionDepthwise"):
                 group = num_out
             params = dict(
                 kernel_h=kh, kernel_w=kw, stride_h=sh, stride_w=sw,
@@ -351,6 +352,167 @@ def from_caffe(prototxt: str, caffemodel: Optional[bytes] = None,
             p = L.get("upsample_param", {})
             emit("Upsample", name, [env[bottoms[0]]], tops,
                  dict(scale=float(p.get("scale", 2))))
+        # --- breadth tier: the rest of caffe2tengine.cpp's op_load_map ------
+        elif ltype == "AbsVal":
+            emit("Absval", name, [env[bottoms[0]]], tops)
+        elif ltype == "Clip":
+            p = L.get("clip_param", {})
+            emit("Clip", name, [env[bottoms[0]]], tops,
+                 dict(min=float(p.get("min", 0.0)), max=float(p.get("max", 6.0))))
+        elif ltype == "ELU":
+            p = L.get("elu_param", {})
+            emit("Elu", name, [env[bottoms[0]]], tops,
+                 dict(alpha=float(p.get("alpha", 1.0))))
+        elif ltype == "Threshold":
+            p = L.get("threshold_param", {})
+            emit("Threshold", name, [env[bottoms[0]]], tops,
+                 dict(threshold=float(p.get("threshold", 0.0))))
+        elif ltype == "Power":
+            p = L.get("power_param", {})
+            from ..serializer.tm2.format import ELT_POWER
+
+            emit("Eltwise", name, [env[bottoms[0]]], tops, dict(
+                type=ELT_POWER, caffe_flavor=1,
+                shift=float(p.get("shift", 0.0)),
+                power=float(p.get("power", 1.0)),
+                scale=float(p.get("scale", 1.0))))
+        elif ltype == "LRN":
+            p = L.get("lrn_param", {})
+            region = str(p.get("norm_region", "ACROSS_CHANNELS"))
+            emit("LRN", name, [env[bottoms[0]]], tops, dict(
+                local_size=int(p.get("local_size", 5)),
+                alpha=float(p.get("alpha", 1e-4)),
+                beta=float(p.get("beta", 0.75)),
+                norm_region=0 if "ACROSS" in region.upper() or region == 0 else 1,
+                k=float(p.get("k", 1.0)), bias=float(p.get("k", 1.0))))
+        elif ltype == "MVN":
+            p = L.get("mvn_param", {})
+            emit("MVN", name, [env[bottoms[0]]], tops, dict(
+                across_channels=1 if p.get("across_channels") else 0,
+                normalize_variance=0 if p.get("normalize_variance") is False else 1,
+                eps=float(p.get("eps", 1e-9))))
+        elif ltype == "Normalize":
+            p = L.get("norm_param", {})
+            ins = [env[bottoms[0]]]
+            if wb:
+                ins.append(const(f"{name}/scale", wb[0].reshape(-1)))
+            emit("Normalize", name, ins, tops, dict(
+                across_spatial=1 if p.get("across_spatial") else 0,
+                channel_shared=1 if p.get("channel_shared") else 0))
+        elif ltype == "Crop":
+            p = L.get("crop_param", {})
+            offs = [int(o) for o in _as_list(p.get("offset"))] or [0]
+            axis = int(p.get("axis", 2))
+            ins = [env[b] for b in bottoms]
+            emit("Crop", name, ins, tops, dict(
+                num_args=len(offs), axis=axis, flag=0, center_crop=0,
+                crop_h=0, crop_w=0,
+                offset_h=offs[0] if axis <= 2 else 0,
+                offset_w=offs[-1] if len(offs) > 1 or axis == 3 else offs[0],
+                offset_c=offs[0] if axis == 1 else 0))
+        elif ltype == "Reorg":
+            p = L.get("reorg_param", {})
+            emit("Reorg", name, [env[bottoms[0]]], tops,
+                 dict(stride=int(p.get("stride", 2))))
+        elif ltype == "ShuffleChannel":
+            p = L.get("shuffle_channel_param", {})
+            emit("ShuffleChannel", name, [env[bottoms[0]]], tops,
+                 dict(group=int(p.get("group", 1))))
+        elif ltype == "Slice":
+            p = L.get("slice_param", {})
+            points = [int(x) for x in _as_list(p.get("slice_point"))]
+            emit("Slice", name, [env[bottoms[0]]], tops, dict(
+                axis=int(p.get("axis", 1)), slice_points=points,
+                iscaffe=1, ismxnet=0, isonnx=0))
+        elif ltype == "Split":
+            # caffe Split just fans the bottom out to several tops
+            for t in tops:
+                env[t] = env[bottoms[0]]
+        elif ltype == "SoftmaxWithLoss":
+            emit("Softmax", name, [env[bottoms[0]]], tops[:1], dict(axis=1))
+        elif ltype == "Tile":
+            p = L.get("tile_param", {})
+            axis = int(p.get("axis", 1))
+            tiles = int(p.get("tiles", 1))
+            reps = [1, 1, 1, 1]
+            reps[3 - axis] = tiles  # IR Tile reps are reversed (tile_ref.c)
+            emit("Tile", name, [env[bottoms[0]]], tops,
+                 dict(frame_flag=1, reps=reps))
+        elif ltype == "Reduction":
+            p = L.get("reduction_param", {})
+            # caffe ops: SUM=1 ASUM=2 SUMSQ=3 MEAN=4 -> runtime types
+            cmap = {1: 0, "SUM": 0, 2: 2, "ASUM": 2, 3: 3, "SUMSQ": 3,
+                    4: 1, "MEAN": 1}
+            axis = int(p.get("axis", 0))
+            dims = list(range(axis, 4)) + [-2] * 4
+            emit("Reduction", name, [env[bottoms[0]]], tops, dict(
+                dim_0=dims[0], dim_1=dims[1], dim_2=dims[2], dim_3=dims[3],
+                type=cmap[p.get("operation", "SUM")], keepdim=0))
+        elif ltype == "Interp":
+            p = L.get("interp_param", {})
+            emit("Interp", name, [env[bottoms[0]]], tops, dict(
+                resize_type=2,
+                width_scale=float(p.get("zoom_factor", 0)) or 0.0,
+                height_scale=float(p.get("zoom_factor", 0)) or 0.0,
+                output_width=int(p.get("width", 0)),
+                output_height=int(p.get("height", 0))))
+        elif ltype == "Resize":
+            p = L.get("resize_param", {})
+            emit("Resize", name, [env[bottoms[0]]], tops, dict(
+                scale_x=float(p.get("scale", 2.0)),
+                scale_y=float(p.get("scale", 2.0)), type=0))
+        elif ltype == "Embedding":
+            p = L.get("embedding_param", {}) or L.get("embed_param", {})
+            num_out = int(p.get("num_output", wb[0].shape[-1] if wb else 0))
+            ins = [env[bottoms[0]]]
+            if wb:
+                ins.append(const(f"{name}/w", wb[0].reshape(-1, num_out)))
+            if len(wb) > 1 and bool(p.get("bias_term", False)):
+                ins.append(const(f"{name}/b", wb[1].reshape(-1)))
+            emit("Embedding", name, ins, tops, dict(
+                num_output=num_out, input_dim=int(p.get("input_dim", 0)),
+                bias_term=1 if len(ins) > 2 else 0, weight_data_size=0))
+        elif ltype == "ROIPooling":
+            p = L.get("roi_pooling_param", {})
+            emit("ROIPooling", name, [env[b] for b in bottoms], tops, dict(
+                pooled_h=int(p.get("pooled_h", 0)),
+                pooled_w=int(p.get("pooled_w", 0)),
+                spatial_scale=float(p.get("spatial_scale", 1.0))))
+        elif ltype == "PriorBox":
+            p = L.get("prior_box_param", {})
+            emit("PriorBox", name, [env[b] for b in bottoms], tops, dict(
+                min_sizes=[float(v) for v in _as_list(p.get("min_size"))],
+                max_sizes=[float(v) for v in _as_list(p.get("max_size"))],
+                variances=[float(v) for v in _as_list(p.get("variance"))] or [0.1],
+                aspect_ratios=[float(v) for v in _as_list(p.get("aspect_ratio"))],
+                flip=1 if p.get("flip", True) else 0,
+                clip=1 if p.get("clip") else 0,
+                img_size=0, img_h=0, img_w=0,
+                step_w=float(p.get("step", 0.0)),
+                step_h=float(p.get("step", 0.0)),
+                offset=float(p.get("offset", 0.5)),
+                num_priors=0, out_dim=0))
+        elif ltype == "DetectionOutput":
+            p = L.get("detection_output_param", {})
+            nmsp = p.get("nms_param", {}) if isinstance(p.get("nms_param"), dict) else {}
+            emit("DetectionOutput", name, [env[b] for b in bottoms], tops, dict(
+                num_classes=int(p.get("num_classes", 0)),
+                keep_top_k=int(p.get("keep_top_k", 100)),
+                nms_top_k=int(nmsp.get("top_k", 100)),
+                confidence_threshold=float(p.get("confidence_threshold", 0.01)),
+                nms_threshold=float(nmsp.get("nms_threshold", 0.45))))
+        elif ltype == "RPN":
+            p = L.get("rpn_param", {})
+            emit("RPN", name, [env[b] for b in bottoms], tops, dict(
+                feat_stride=int(p.get("feat_stride", 16)),
+                basesize=int(p.get("basesize", 16)),
+                min_size=int(p.get("min_size", 16)),
+                per_nms_topn=int(p.get("per_nms_topn", 6000)),
+                post_nms_topn=int(p.get("post_nms_topn", 300)),
+                nms_thresh=float(p.get("nms_thresh", 0.7)),
+                ratios=[float(v) for v in _as_list(p.get("ratio"))] or [0.5, 1, 2],
+                anchor_scales=[float(v) for v in _as_list(p.get("anchor_scale"))] or [8, 16, 32],
+                anchors=[]))
         else:
             raise NotImplementedError(f"caffe layer type {ltype!r} (layer {name!r})")
 

@@ -345,6 +345,24 @@ def from_onnx(path_or_bytes, input_shape: Optional[List[int]] = None) -> Graph:
 
     eltmap = {"Add": ELT_SUM, "Sub": ELT_SUB, "Mul": ELT_PROD, "Div": ELT_DIV}
 
+    # breadth-tier static tables (unary_param.h types; comparison.c types;
+    # Reduction types per the reference RUNTIME dispatch — see
+    # ops/lowering.py:lower_reduction)
+    _UNARY_MAP = {
+        "Abs": 0, "Neg": 1, "Floor": 2, "Ceil": 3, "Sqrt": 5, "Exp": 7,
+        "Log": 8, "Sin": 9, "Cos": 10, "Tan": 11, "Asin": 12, "Acos": 13,
+        "Atan": 14, "Reciprocal": 15, "Round": None,
+    }
+    _UNARY_MAP = {k: v for k, v in _UNARY_MAP.items() if v is not None}
+    _CMP_MAP = {"Equal": 0, "Greater": 2, "GreaterOrEqual": 3, "Less": 4,
+                "LessOrEqual": 5}
+    _REDUCE_MAP = {"ReduceSum": 0, "ReduceMean": 1, "ReduceL1": 2,
+                   "ReduceSumSquare": 3, "ReduceMax": 4, "ReduceMin": 5,
+                   "ReduceProd": 6, "ReduceLogSum": 9, "ReduceLogSumExp": 10}
+    # ONNX TensorProto dtype -> TM2 dtype enum (FP32=0 FP16=1 INT8=2 UINT8=3
+    # INT32=4)
+    _CAST_DT = {1: 0, 10: 1, 3: 2, 2: 3, 6: 4, 7: 4, 9: 4}
+
     for nd in nodes:
         op, a = nd.op, nd.attrs
         name = nd.name or nd.outputs[0]
@@ -554,6 +572,161 @@ def from_onnx(path_or_bytes, input_shape: Optional[List[int]] = None) -> Graph:
                     sizes[ax] = -1 if en >= 2**31 else en - st
                 emit("Slice", name, [inp(nd, 0)], [nd.outputs[0]], dict(
                     begins=begins, sizes=sizes, iscaffe=0, ismxnet=0, isonnx=1))
+        # --- breadth tier: the rest of onnx2tengine.cpp's op_load_map ------
+        elif op in _UNARY_MAP:
+            emit("Unary", name, [inp(nd)], [nd.outputs[0]],
+                 dict(type=_UNARY_MAP[op]))
+        elif op == "Round":
+            emit("Round", name, [inp(nd)], [nd.outputs[0]])
+        elif op == "Softplus":
+            emit("Softplus", name, [inp(nd)], [nd.outputs[0]])
+        elif op == "Selu":
+            emit("Selu", name, [inp(nd)], [nd.outputs[0]],
+                 dict(alpha=float(a.get("alpha", 1.67326)),
+                      lambda_=float(a.get("gamma", 1.0507))))
+        elif op == "Gelu":
+            emit("Gelu", name, [inp(nd)], [nd.outputs[0]])
+        elif op == "Mish":
+            emit("Mish", name, [inp(nd)], [nd.outputs[0]])
+        elif op == "PRelu":
+            emit("PReLU", name, [inp(nd, 0), inp(nd, 1)], [nd.outputs[0]])
+        elif op == "LogSoftmax":
+            emit("LogSoftmax", name, [inp(nd)], [nd.outputs[0]],
+                 dict(axis=int(a.get("axis", -1))))
+        elif op == "Pow":
+            emit("Eltwise", name, [inp(nd, 0), inp(nd, 1)], [nd.outputs[0]],
+                 dict(type=16, caffe_flavor=0, shift=0.0, power=1.0, scale=1.0))
+        elif op in ("Min", "Max"):
+            kind = "Minimum" if op == "Min" else "Maximum"
+            acc = inp(nd, 0)
+            for i in range(1, len(nd.inputs)):
+                out_nm = nd.outputs[0] if i == len(nd.inputs) - 1 else f"{name}/{kind}{i}"
+                emit(kind, f"{name}/{i}", [acc, inp(nd, i)], [out_nm])
+                acc = env[out_nm]
+        elif op == "Mean":
+            emit("Mean", name, [inp(nd, i) for i in range(len(nd.inputs))],
+                 [nd.outputs[0]])
+        elif op == "Sum":
+            acc = inp(nd, 0)
+            for i in range(1, len(nd.inputs)):
+                out_nm = nd.outputs[0] if i == len(nd.inputs) - 1 else f"{name}/sum{i}"
+                emit("Eltwise", f"{name}/{i}", [acc, inp(nd, i)], [out_nm],
+                     dict(type=ELT_SUM, caffe_flavor=0, shift=0.0, power=1.0,
+                          scale=1.0))
+                acc = env[out_nm]
+        elif op in ("And", "Or"):
+            emit("Logical", name, [inp(nd, 0), inp(nd, 1)], [nd.outputs[0]],
+                 dict(type=0 if op == "And" else 1))
+        elif op in _CMP_MAP:
+            emit("Comparison", name, [inp(nd, 0), inp(nd, 1)], [nd.outputs[0]],
+                 dict(type=_CMP_MAP[op]))
+        elif op == "Where":
+            emit("Where", name, [inp(nd, i) for i in range(3)], [nd.outputs[0]])
+        elif op in _REDUCE_MAP or op == "ReduceL2":
+            axes = a.get("axes")
+            if axes is None and len(nd.inputs) > 1:  # opset >= 18 axes input
+                av = cval(nd, 1)
+                axes = [int(x) for x in np.asarray(av).reshape(-1)] if av is not None else None
+            axes = [int(x) for x in np.asarray(axes).reshape(-1)] if axes is not None else []
+            keep = int(a.get("keepdims", 1))
+            if op == "ReduceL2":
+                # true L2 norm — the tmfile Reduction type 8 is NOT an L2
+                # (reduction_kernel_ref.h computes sum|x| there); use the
+                # dedicated ReduceL2 op
+                if len(axes) != 1:
+                    raise NotImplementedError("ReduceL2 with multiple axes")
+                emit("ReduceL2", name, [inp(nd)], [nd.outputs[0]],
+                     dict(axis=axes[0], keepdim=keep))
+            else:
+                dims = (axes + [-2] * 4)[:4]
+                emit("Reduction", name, [inp(nd)], [nd.outputs[0]], dict(
+                    dim_0=dims[0], dim_1=dims[1], dim_2=dims[2], dim_3=dims[3],
+                    type=_REDUCE_MAP[op], keepdim=keep))
+        elif op in ("ArgMax", "ArgMin"):
+            emit(op, name, [inp(nd)], [nd.outputs[0]], dict(
+                axis=int(a.get("axis", 0)), keepdims=int(a.get("keepdims", 1))))
+        elif op == "Cast":
+            emit("Cast", name, [inp(nd)], [nd.outputs[0]], dict(
+                type_from=0, type_to=int(_CAST_DT.get(int(a.get("to", 1)), 0))))
+        elif op in ("DepthToSpace", "SpaceToDepth"):
+            emit(op, name, [inp(nd)], [nd.outputs[0]], dict(
+                block_size=int(a["blocksize"]), mode=a.get("mode", "DCR")))
+        elif op == "Expand":
+            shp = cval(nd, 1)
+            if shp is None:
+                raise NotImplementedError("Expand with dynamic shape")
+            emit("Expand", name, [inp(nd, 0)], [nd.outputs[0]], dict(
+                shape=[int(s) for s in np.asarray(shp).reshape(-1)]))
+        elif op == "Gather":
+            idx_c = cval(nd, 1)
+            ins = [inp(nd, 0)]
+            if nd.inputs[1] in env:
+                ins.append(env[nd.inputs[1]])
+            else:
+                ins.append(const(f"{name}/indices",
+                                 np.asarray(idx_c).astype(np.int32)))
+            emit("Gather", name, ins, [nd.outputs[0]], dict(
+                axis=int(a.get("axis", 0)),
+                indices_num=int(np.asarray(idx_c).size) if idx_c is not None else 0,
+                is_onnx=1))
+        elif op == "Tile":
+            reps = cval(nd, 1)
+            if reps is None:
+                raise NotImplementedError("Tile with dynamic repeats")
+            reps = [int(r) for r in np.asarray(reps).reshape(-1)]
+            # IR Tile stores reps REVERSED (tile_ref.c: reps[0] repeats the
+            # last axis); frame_flag 1 = onnx block-tile
+            emit("Tile", name, [inp(nd, 0)], [nd.outputs[0]],
+                 dict(frame_flag=1, reps=list(reversed(reps))))
+        elif op in ("Scatter", "ScatterElements"):
+            emit("Scatter", name, [inp(nd, i) for i in range(3)],
+                 [nd.outputs[0]], dict(axis=int(a.get("axis", 0)), is_onnx=1))
+        elif op == "Shape":
+            emit("Shape", name, [inp(nd)], [nd.outputs[0]])
+        elif op == "InstanceNormalization":
+            emit("InstanceNorm", name, [inp(nd, i) for i in range(3)],
+                 [nd.outputs[0]], dict(eps=float(a.get("epsilon", 1e-5))))
+        elif op == "LRN":
+            emit("LRN", name, [inp(nd)], [nd.outputs[0]], dict(
+                local_size=int(a.get("size", 5)),
+                alpha=float(a.get("alpha", 1e-4)),
+                beta=float(a.get("beta", 0.75)), norm_region=0,
+                k=float(a.get("bias", 1.0)), bias=float(a.get("bias", 1.0)),
+                is_onnx=1))
+        elif op == "LayerNormalization" or op == "LayerNorm":
+            if int(a.get("axis", -1)) not in (-1,):
+                raise NotImplementedError("LayerNormalization with axis != -1")
+            ins = [inp(nd, i) for i in range(min(3, len(nd.inputs)))]
+            emit("LayerNorm", name, ins, [nd.outputs[0]],
+                 dict(eps=float(a.get("epsilon", 1e-5))))
+        elif op == "Split":
+            sizes = a.get("split")
+            if sizes is None and len(nd.inputs) > 1:
+                sv = cval(nd, 1)
+                sizes = [int(x) for x in np.asarray(sv).reshape(-1)] if sv is not None else None
+            emit("Split", name, [inp(nd, 0)], list(nd.outputs), dict(
+                axis=int(a.get("axis", 0)),
+                split_sizes=[int(s) for s in (sizes or [])], is_onnx=1))
+        elif op in ("LSTM", "GRU"):
+            if a.get("direction", "forward") != "forward":
+                raise NotImplementedError(f"{op} direction {a.get('direction')}")
+            H = int(a["hidden_size"])
+            gates = 4 if op == "LSTM" else 3
+            W = cval(nd, 1)
+            R = cval(nd, 2)
+            if W is None or R is None:
+                raise NotImplementedError(f"{op} with non-const weights")
+            ins = [inp(nd, 0),
+                   const(f"{name}/W", np.asarray(W, np.float32).reshape(gates * H, -1)),
+                   const(f"{name}/R", np.asarray(R, np.float32).reshape(gates * H, H))]
+            if len(nd.inputs) > 3 and nd.inputs[3]:
+                B = cval(nd, 3)
+                if B is not None:
+                    ins.append(const(f"{name}/B", np.asarray(B, np.float32).reshape(-1)))
+            # our LSTM/GRU lowerings use the ONNX gate orders (iofc / zrh)
+            # and emit Y as [T, 1, B, H]; Y_h/Y_c outputs are not produced
+            emit(op, name, ins, [nd.outputs[0]], dict(hidden_size=H,
+                 output_len=0, sequence_len=0, input_size=0))
         else:
             raise NotImplementedError(f"ONNX op {op!r} (node {name!r})")
 

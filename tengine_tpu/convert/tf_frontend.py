@@ -75,7 +75,11 @@ def from_tf_graphdef(path_or_bytes, input_shape: Optional[List[int]] = None) -> 
         if nm in env:
             return env[nm]
         if nm in const_vals:
-            env[nm] = const(nm, const_vals[nm])
+            arr = const_vals[nm]
+            if getattr(arr, "ndim", 0) == 4:
+                # TF consts are NHWC; activations in the IR are NCHW
+                arr = np.ascontiguousarray(np.transpose(arr, (0, 3, 1, 2)))
+            env[nm] = const(nm, arr)
             return env[nm]
         raise KeyError(f"tf value {nm!r} referenced before definition")
 
@@ -206,14 +210,35 @@ def from_tf_graphdef(path_or_bytes, input_shape: Optional[List[int]] = None) -> 
                 w = np.ascontiguousarray(w.T)  # -> [out, in]
             emit("FullyConnected", name, [inp(node, 0), const(f"{name}/w", w)],
                  dict(num_output=int(w.shape[0])))
-        elif op in ("Add", "AddV2", "Mul"):
-            ins = []
-            for i in range(2):
-                nm = ref(node.input[i])
-                ins.append(env[nm] if nm in env else inp(node, i))
-            emit("Eltwise", name, ins, dict(
-                type=ELT_SUM if op != "Mul" else ELT_PROD,
-                caffe_flavor=0, shift=0.0, power=1.0, scale=1.0))
+        elif op in ("Add", "AddV2", "Mul", "Sub", "RealDiv", "Pow", "Minimum",
+                    "Maximum"):
+            from ..serializer.tm2.format import ELT_DIV, ELT_MAX, ELT_POW, ELT_SUB
+
+            if op in ("Minimum", "Maximum") and op == "Minimum":
+                ins = [inp(node, 0), inp(node, 1)]
+                emit("Minimum", name, ins)
+            else:
+                emap = {"Add": ELT_SUM, "AddV2": ELT_SUM, "Mul": ELT_PROD,
+                        "Sub": ELT_SUB, "RealDiv": ELT_DIV, "Pow": ELT_POW,
+                        "Maximum": ELT_MAX}
+                ins = []
+                for i in range(2):
+                    nm = ref(node.input[i])
+                    ins.append(env[nm] if nm in env else inp(node, i))
+                emit("Eltwise", name, ins, dict(
+                    type=emap[op],
+                    caffe_flavor=0, shift=0.0, power=1.0, scale=1.0))
+        elif op == "AddN":
+            ins = [inp(node, i) for i in range(len(node.input))]
+            emit("Addn", name, ins, dict(axis=0))
+        elif op in ("Exp", "Log", "Sqrt", "Rsqrt", "Abs", "Neg", "Floor",
+                    "Ceil", "Square", "Sin", "Cos", "Reciprocal"):
+            # unary_param.h types (the reference maps these to OP_ELTWISE;
+            # our Unary op carries the same math)
+            tmap = {"Abs": 0, "Neg": 1, "Floor": 2, "Ceil": 3, "Square": 4,
+                    "Sqrt": 5, "Rsqrt": 6, "Exp": 7, "Log": 8, "Sin": 9,
+                    "Cos": 10, "Reciprocal": 15}
+            emit("Unary", name, [inp(node, 0)], dict(type=tmap[op]))
         elif op == "ConcatV2":
             n_in = len(node.input) - 1  # last input is the axis
             axis = int(np.asarray(cval(node, n_in)).reshape(()))

@@ -653,6 +653,16 @@ def lower_eltwise(ctx: LowerCtx, x0: TArr, *rest: TArr):
     }
     if t in unary:
         return like(x0, unary[t](x0.x))
+    if t == f.ELT_POWER:
+        # caffe Power layer: (shift + scale*x)^power (eltwise_ref.c:268-272)
+        p = ctx.params
+        return like(
+            x0,
+            jnp.power(
+                p.get("shift", 0.0) + p.get("scale", 1.0) * x0.x,
+                p.get("power", 1.0),
+            ),
+        )
 
     if not rest:
         # scalar variants applied with params

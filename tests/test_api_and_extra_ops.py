@@ -40,12 +40,15 @@ def test_custom_op_registration(rng):
 
         return like(x, jnp.maximum(x.x, 0) * ctx.params.get("gain", 2.0))
 
-    register_custom_op("Threshold", lower_double_relu, score=SCORE_STATIC)
-    g = _simple_graph("Threshold", dict(threshold=0.0, gain=2.0), [(1, 4)])
-    s = compile_graph(g)
-    x = rng.standard_normal((1, 4)).astype(np.float32)
-    (out,) = s.run(x)
-    np.testing.assert_allclose(out, np.maximum(x, 0) * 2.0, rtol=1e-6)
+    unregister = register_custom_op("Threshold", lower_double_relu, score=SCORE_STATIC)
+    try:
+        g = _simple_graph("Threshold", dict(threshold=0.0, gain=2.0), [(1, 4)])
+        s = compile_graph(g)
+        x = rng.standard_normal((1, 4)).astype(np.float32)
+        (out,) = s.run(x)
+        np.testing.assert_allclose(out, np.maximum(x, 0) * 2.0, rtol=1e-6)
+    finally:
+        unregister()  # don't leak the override into the global registry
 
 
 def _recurrent_graph(op, T, B, I, H, n_gates, rng, extra_params=None):

@@ -270,3 +270,178 @@ def test_onnx_misc_ops(rng):
     tr = up.transpose(0, 2, 3, 1)
     ref = tr.reshape(1, -1)
     np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+# ---- breadth tier (VERDICT r1 item 4): one import test per op family -------
+
+
+def _run1(m, *xs, input_shape=None):
+    g = from_onnx(m, input_shape=input_shape)
+    return np.asarray(compile_graph(g).run(*xs)[0])
+
+
+def test_onnx_unary_family(rng):
+    x = (np.abs(rng.standard_normal((1, 3, 4, 4))) + 0.5).astype(np.float32)
+    for op, fn in [
+        ("Abs", np.abs), ("Neg", np.negative), ("Floor", np.floor),
+        ("Ceil", np.ceil), ("Sqrt", np.sqrt), ("Exp", np.exp),
+        ("Log", np.log), ("Sin", np.sin), ("Cos", np.cos),
+        ("Reciprocal", lambda v: 1.0 / v), ("Round", np.round),
+        ("Softplus", lambda v: np.log1p(np.exp(v))),
+    ]:
+        m = model([node(op, ["x"], ["y"])], {}, [("x", list(x.shape))], ["y"])
+        np.testing.assert_allclose(_run1(m, x), fn(x), rtol=1e-5, atol=1e-5,
+                                   err_msg=op)
+
+
+def test_onnx_binary_family(rng):
+    a = rng.standard_normal((1, 3, 4, 4)).astype(np.float32)
+    b = (np.abs(rng.standard_normal((1, 3, 4, 4))) + 0.5).astype(np.float32)
+    for op, fn in [
+        ("Pow", np.power),
+        ("Min", np.minimum), ("Max", np.maximum),
+        ("Mean", lambda u, v: (u + v) / 2),
+        ("Greater", lambda u, v: (u > v).astype(np.float32)),
+        ("Less", lambda u, v: (u < v).astype(np.float32)),
+        ("Equal", lambda u, v: (u == v).astype(np.float32)),
+    ]:
+        aa = np.abs(a) + 0.5 if op == "Pow" else a
+        m = model([node(op, ["a", "b"], ["y"])], {},
+                  [("a", list(a.shape)), ("b", list(b.shape))], ["y"])
+        np.testing.assert_allclose(_run1(m, aa, b), fn(aa, b), rtol=1e-4,
+                                   atol=1e-4, err_msg=op)
+
+
+def test_onnx_reduce_family(rng):
+    x = (np.abs(rng.standard_normal((2, 3, 4, 5))) + 0.1).astype(np.float32)
+    for op, fn in [
+        ("ReduceSum", lambda v: v.sum(axis=(2, 3), keepdims=True)),
+        ("ReduceMean", lambda v: v.mean(axis=(2, 3), keepdims=True)),
+        ("ReduceMax", lambda v: v.max(axis=(2, 3), keepdims=True)),
+        ("ReduceMin", lambda v: v.min(axis=(2, 3), keepdims=True)),
+        ("ReduceProd", lambda v: v.prod(axis=(2, 3), keepdims=True)),
+        ("ReduceSumSquare", lambda v: (v * v).sum(axis=(2, 3), keepdims=True)),
+        ("ReduceL1", lambda v: np.abs(v).sum(axis=(2, 3), keepdims=True)),
+        ("ReduceLogSum", lambda v: np.log(v.sum(axis=(2, 3), keepdims=True))),
+        ("ReduceLogSumExp",
+         lambda v: np.log(np.exp(v).sum(axis=(2, 3), keepdims=True))),
+    ]:
+        m = model([node(op, ["x"], ["y"], axes=[2, 3], keepdims=1)], {},
+                  [("x", [2, 3, 4, 5])], ["y"])
+        np.testing.assert_allclose(_run1(m, x), fn(x), rtol=1e-4, atol=1e-4,
+                                   err_msg=op)
+    # ReduceL2 maps to the dedicated true-L2 op
+    m = model([node("ReduceL2", ["x"], ["y"], axes=[1], keepdims=1)], {},
+              [("x", [2, 3, 4, 5])], ["y"])
+    want = np.sqrt((x * x).sum(axis=1, keepdims=True))
+    np.testing.assert_allclose(_run1(m, x), want, rtol=1e-4, atol=1e-4)
+
+
+def test_onnx_movement_family(rng):
+    x = rng.standard_normal((1, 8, 4, 4)).astype(np.float32)
+    # DepthToSpace DCR
+    m = model([node("DepthToSpace", ["x"], ["y"], blocksize=2, mode="DCR")],
+              {}, [("x", [1, 8, 4, 4])], ["y"])
+    xn = x.transpose(0, 2, 3, 1)
+    n, h, w, c = xn.shape
+    want = (xn.reshape(n, h, w, 2, 2, c // 4).transpose(0, 1, 3, 2, 4, 5)
+            .reshape(n, h * 2, w * 2, c // 4).transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(_run1(m, x), want, rtol=1e-6, atol=1e-6)
+    # Gather (const indices, channel axis)
+    idx = np.array([3, 1, 5], np.int64)
+    m = model([node("Gather", ["x", "i"], ["y"], axis=1)], {"i": idx},
+              [("x", [1, 8, 4, 4])], ["y"])
+    np.testing.assert_allclose(_run1(m, x), x[:, [3, 1, 5]], rtol=1e-6, atol=0)
+    # Tile (block semantics)
+    reps = np.array([1, 2, 1, 3], np.int64)
+    m = model([node("Tile", ["x", "r"], ["y"])], {"r": reps},
+              [("x", [1, 8, 4, 4])], ["y"])
+    np.testing.assert_allclose(_run1(m, x), np.tile(x, (1, 2, 1, 3)),
+                               rtol=1e-6, atol=0)
+    # Expand
+    e = np.array([1, 8, 4, 4], np.int64)
+    m = model([node("Expand", ["x2", "e"], ["y"])], {"e": e},
+              [("x2", [1, 8, 1, 4])], ["y"])
+    x2 = rng.standard_normal((1, 8, 1, 4)).astype(np.float32)
+    np.testing.assert_allclose(_run1(m, x2), np.broadcast_to(x2, (1, 8, 4, 4)),
+                               rtol=1e-6, atol=0)
+    # Split into 2 along channels (attr form)
+    m = model([node("Split", ["x"], ["y", "z"], axis=1, split=[5, 3])], {},
+              [("x", [1, 8, 4, 4])], ["y"])
+    np.testing.assert_allclose(_run1(m, x), x[:, :5], rtol=1e-6, atol=0)
+    # ArgMax
+    m = model([node("ArgMax", ["x"], ["y"], axis=1, keepdims=0)], {},
+              [("x", [1, 8, 4, 4])], ["y"])
+    np.testing.assert_array_equal(_run1(m, x), np.argmax(x, axis=1))
+    # Where
+    m = model([node("Greater", ["x", "x0"], ["c"]),
+               node("Where", ["c", "x", "x0"], ["y"])], {},
+              [("x", [1, 8, 4, 4]), ("x0", [1, 8, 4, 4])], ["y"])
+    x0 = np.zeros_like(x)
+    np.testing.assert_allclose(_run1(m, x, x0), np.maximum(x, 0), rtol=1e-6,
+                               atol=0)
+
+
+def test_onnx_norm_family(rng):
+    x = rng.standard_normal((2, 4, 6, 6)).astype(np.float32)
+    gam = (1 + 0.1 * rng.standard_normal(4)).astype(np.float32)
+    bet = (0.1 * rng.standard_normal(4)).astype(np.float32)
+    m = model([node("InstanceNormalization", ["x", "g", "b"], ["y"],
+                    epsilon=1e-5)], {"g": gam, "b": bet},
+              [("x", [2, 4, 6, 6])], ["y"])
+    mean = x.mean(axis=(2, 3), keepdims=True)
+    var = x.var(axis=(2, 3), keepdims=True)
+    want = (x - mean) / np.sqrt(var + 1e-5) * gam.reshape(1, 4, 1, 1) + bet.reshape(1, 4, 1, 1)
+    np.testing.assert_allclose(_run1(m, x), want, rtol=1e-4, atol=1e-4)
+    # LRN
+    m = model([node("LRN", ["x"], ["y"], size=3, alpha=2e-4, beta=0.75,
+                    bias=1.0)], {}, [("x", [2, 4, 6, 6])], ["y"])
+    out = _run1(m, x)
+    assert out.shape == x.shape and np.isfinite(out).all()
+    # PRelu
+    slope = np.abs(rng.standard_normal(4)).astype(np.float32)
+    m = model([node("PRelu", ["x", "s"], ["y"])], {"s": slope},
+              [("x", [2, 4, 6, 6])], ["y"])
+    want = np.where(x > 0, x, x * slope.reshape(1, 4, 1, 1))
+    np.testing.assert_allclose(_run1(m, x), want, rtol=1e-5, atol=1e-5)
+
+
+def test_onnx_lstm_gru(rng):
+    import torch
+
+    T, B, I, H = 5, 2, 3, 4
+    x = rng.standard_normal((T, B, I)).astype(np.float32)
+    # LSTM: ONNX gate order iofc; torch uses ifgo — build torch oracle
+    W = (rng.standard_normal((1, 4 * H, I)) * 0.3).astype(np.float32)
+    R = (rng.standard_normal((1, 4 * H, H)) * 0.3).astype(np.float32)
+    Bi = (rng.standard_normal((1, 8 * H)) * 0.1).astype(np.float32)
+    m = model([node("LSTM", ["x", "W", "R", "B"], ["y"], hidden_size=H)],
+              {"W": W, "R": R, "B": Bi}, [("x", [T, B, I])], ["y"])
+    out = _run1(m, x)
+    assert out.shape == (T, 1, B, H)
+
+    lstm = torch.nn.LSTM(I, H)
+    # onnx iofc rows -> torch ifgo
+    perm = np.r_[0:H, 2 * H:3 * H, 3 * H:4 * H, H:2 * H]
+    with torch.no_grad():
+        lstm.weight_ih_l0.copy_(torch.from_numpy(W[0][perm]))
+        lstm.weight_hh_l0.copy_(torch.from_numpy(R[0][perm]))
+        lstm.bias_ih_l0.copy_(torch.from_numpy(Bi[0, :4 * H][perm]))
+        lstm.bias_hh_l0.copy_(torch.from_numpy(Bi[0, 4 * H:][perm]))
+        want = lstm(torch.from_numpy(x))[0].numpy()
+    np.testing.assert_allclose(out[:, 0], want, rtol=1e-4, atol=1e-4)
+
+    # GRU (zrh vs torch rzh), torch linear_before_reset=0 matches ours
+    W3 = (rng.standard_normal((1, 3 * H, I)) * 0.3).astype(np.float32)
+    R3 = (rng.standard_normal((1, 3 * H, H)) * 0.3).astype(np.float32)
+    m = model([node("GRU", ["x", "W", "R"], ["y"], hidden_size=H)],
+              {"W": W3, "R": R3}, [("x", [T, B, I])], ["y"])
+    out = _run1(m, x)
+    assert out.shape == (T, 1, B, H)
+    gru = torch.nn.GRU(I, H, bias=False)
+    permg = np.r_[H:2 * H, 0:H, 2 * H:3 * H]  # onnx z,r,h -> torch r,z,n
+    with torch.no_grad():
+        gru.weight_ih_l0.copy_(torch.from_numpy(W3[0][permg]))
+        gru.weight_hh_l0.copy_(torch.from_numpy(R3[0][permg]))
+        want = gru(torch.from_numpy(x))[0].numpy()
+    np.testing.assert_allclose(out[:, 0], want, rtol=1e-3, atol=1e-3)
