@@ -202,7 +202,10 @@ def build_forward(graph: Graph, options: Options, store: ParamStore, return_all:
                 outs = tuple(
                     TArr(
                         qmath.requantize(
-                            o.x, graph.tensors[tid].quant, graph.tensors[tid].dtype
+                            o.x,
+                            graph.tensors[tid].quant,
+                            graph.tensors[tid].dtype,
+                            store_bf16=options.quant_bf16_storage,
                         ),
                         o.layout,
                     )
@@ -291,12 +294,18 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
 
         graph = graph.clone()  # rewrites are per-compile, never in place
         fuse_dwpw(graph, require_c128=options.quant_bf16_storage)
-    if fast_quant and options.pallas_qconv and not options.quant_bf16_storage:
-        # residual eltwise-sums fold into the pallas direct-conv kernel
+    if fast_quant:
+        # residual eltwise-sums fold into the conv requant epilogue: the
+        # pallas direct-conv kernel (int-storage path) or the XLA conv
+        # fusion (bf16-storage path — saves a full HBM round trip of the
+        # block-sized intermediate per residual block)
         from ..graph.passes import fuse_conv_add
 
         graph = graph.clone()
-        fuse_conv_add(graph)
+        geometry = "pallas" if (
+            options.pallas_qconv and not options.quant_bf16_storage
+        ) else "any"
+        fuse_conv_add(graph, geometry=geometry)
     store = ParamStore()
     forward, input_ids, output_ids = build_forward(graph, options, store)
 

@@ -755,15 +755,18 @@ def fuse_dwpw(g: Graph, require_c128: bool = False) -> int:
     return fused
 
 
-def _conv_residual_ok(g: Graph, n: Node) -> bool:
-    """Geometry envelope of the qconv_direct Pallas kernel
-    (ops/pallas/qconv.py): group 1, dilation 1, stride 1/2, C % 128 == 0."""
+def _conv_residual_ok(g: Graph, n: Node, geometry: str = "pallas") -> bool:
+    """geometry="pallas": envelope of the qconv_direct Pallas kernel
+    (ops/pallas/qconv.py): group 1, dilation 1, stride 1/2, C % 128 == 0.
+    geometry="any": the XLA-path epilogue fusion handles every conv."""
     if n.op != "Convolution" or len(n.inputs) < 2:
         return False
     p = n.params
     wt = g.tensors[n.inputs[1]]
     if len(wt.shape) != 4:
         return False
+    if geometry == "any":
+        return True
     k1 = p.get("kernel_h", 1) == 1 and p.get("kernel_w", 1) == 1
     return (
         p.get("group", 1) == 1
@@ -776,7 +779,7 @@ def _conv_residual_ok(g: Graph, n: Node) -> bool:
     )
 
 
-def fuse_conv_add(g: Graph) -> int:
+def fuse_conv_add(g: Graph, geometry: str = "pallas") -> int:
     """Fuse quantized Convolution -> Eltwise(SUM) residual pairs (the resnet
     block tail) into the conv node, lowered by the qconv_direct Pallas kernel
     with the add folded into its requantization stage (bit-faithful: both
@@ -798,7 +801,7 @@ def fuse_conv_add(g: Graph) -> int:
             if mid.producer is None or r.data is not None:
                 continue
             conv = g.nodes[mid.producer]
-            if not _conv_residual_ok(g, conv):
+            if not _conv_residual_ok(g, conv, geometry):
                 continue
             if _single_consumer(g, conv) is not add:
                 continue

@@ -53,8 +53,18 @@ def dequantize(x, quant: QuantParam, channel_axis: Optional[int] = None):
     return (xf - zps) * scales
 
 
-def requantize(x, quant: QuantParam, dtype: DType, channel_axis: Optional[int] = None):
-    """fp32 -> quantized with reference rounding/clipping semantics."""
+def requantize(
+    x,
+    quant: QuantParam,
+    dtype: DType,
+    channel_axis: Optional[int] = None,
+    store_bf16: bool = False,
+):
+    """fp32 -> quantized with reference rounding/clipping semantics.
+
+    store_bf16 stores the (exact, |q| <= 255 < 2^8) integer result as
+    bfloat16 so the consuming MXU op needs no int->float pass
+    (Options.quant_bf16_storage); the values are bit-identical."""
     lo, hi = QRANGE[dtype]
     scales = jnp.asarray(quant.scales, jnp.float32)
     zps = jnp.asarray(quant.zero_points, jnp.float32)
@@ -64,7 +74,8 @@ def requantize(x, quant: QuantParam, dtype: DType, channel_axis: Optional[int] =
         scales = scales.reshape(shape)
         zps = zps.reshape(shape)
     q = round_away(x / scales) + zps
-    return jnp.clip(q, lo, hi).astype(dtype.np)
+    store = jnp.bfloat16 if store_bf16 else dtype.np
+    return jnp.clip(q, lo, hi).astype(store)
 
 
 def dequantize_np(x: np.ndarray, quant: QuantParam, channel_axis: Optional[int] = None):

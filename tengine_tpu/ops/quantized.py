@@ -76,7 +76,13 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
 
     t_in = ctx.in_tensor(0)
     t_w = ctx.in_tensor(1)
-    t_out = ctx.out_tensor(0)
+    # with a fused residual add (fuse_conv_add pass) the conv's own requant
+    # targets the pre-add intermediate tensor; the add + second requant run
+    # in the epilogue (_requant_conv_out)
+    if p.get("fused_add_pos") is not None:
+        t_out = ctx.graph.tensors[p["fused_add_mid"]]
+    else:
+        t_out = ctx.out_tensor(0)
     in_q, w_q, out_q = t_in.quant, t_w.quant, t_out.quant
 
     xn = as_nhwc(x)
@@ -110,10 +116,17 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
         # accumulates fp32 — the reference's own accumulation class.
         # bf16-stored activations (quant_bf16_storage) enter here directly;
         # the shift stays exact (|q - zp| <= 255 < 2^9).
+        # weights live in HBM as bf16 directly: the zero-point-shifted
+        # values are integers |q| <= 255 < 2^8, exactly representable in
+        # bf16. Storing f32 and converting in-graph would double the weight
+        # HBM traffic and add a convert pass per conv (measured in the
+        # r50-int8 device trace: f32 weight tap slices + converts).
         w = ctx.weight(
             1,
-            lambda a: (a.astype(np.float32) - zp_w).astype(np.float32).transpose(2, 3, 1, 0),
-            tag="hwio_zshift",
+            lambda a: (a.astype(np.float32) - zp_w)
+            .transpose(2, 3, 1, 0)
+            .astype(jnp.bfloat16),
+            tag="hwio_zshift_bf16",
         )
         if zp_in == 0 and xn.dtype == jnp.bfloat16:
             xs = xn  # already exact bf16 integers
@@ -121,7 +134,7 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
             xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
         acc = lax.conv_general_dilated(
             xs,
-            w.astype(jnp.bfloat16),
+            w,
             window_strides=(p["stride_h"], p["stride_w"]),
             padding=pads,
             rhs_dilation=(dil_h, dil_w),
@@ -133,9 +146,12 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     return acc, (s_in, w_scales, out_q, t_out.dtype, p)
 
 
-def _requant_conv_out(ctx: LowerCtx, acc, pack):
+def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
     """Fold dequant-scale, bias, activation, and requant into one vector op:
-    q = clip(round(acc*M[c] + B[c]) + zp_out)."""
+    q = clip(round(acc*M[c] + B[c]) + zp_out). With a fused residual add
+    (fuse_conv_add pass) the full unfused chain — requant to the mid tensor,
+    dequant both operands, add, requant to the out tensor, optional trailing
+    relu — runs here bit-exactly, all inside the conv's XLA output fusion."""
     s_in, w_scales, out_q, out_dtype, p = pack
     s_out = float(np.asarray(out_q.scales).reshape(-1)[0])
     zp_out = int(np.asarray(out_q.zero_points).reshape(-1)[0])
@@ -145,7 +161,9 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack):
 
     M = ctx.get_param("requant_m", multipliers)
 
-    if ctx.num_inputs > 2:
+    fused_pos = p.get("fused_add_pos")
+    has_bias = (fused_pos == 3) if fused_pos is not None else ctx.num_inputs > 2
+    if has_bias:
         def bias_q():
             b = ctx.const_data(2).astype(np.float32)
             return (b * s_in * w_scales / s_out).astype(np.float32)
@@ -169,8 +187,26 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack):
                 q = jnp.minimum(q, float(act) / s_out)
     lo, hi = qmath.QRANGE[out_dtype]
     store = jnp.bfloat16 if ctx.options.quant_bf16_storage else out_dtype.np
-    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
-    return nhwc(out)
+    t = jnp.clip(qmath.round_away(q) + zp_out, lo, hi)
+    if residual is None:
+        return nhwc(t.astype(store))
+    # fused residual: t is the quantized mid tensor; reproduce the unfused
+    # eltwise-sum numerics exactly (dequant both, add, requant), matching
+    # the pallas qconv requant_block and the reference eltwise uint8 path
+    t_outf = ctx.out_tensor(0)
+    s_mid, zp_mid = s_out, zp_out
+    t_r = ctx.in_tensor(fused_pos)
+    s_r = float(np.asarray(t_r.quant.scales).reshape(-1)[0])
+    zp_r = int(np.asarray(t_r.quant.zero_points).reshape(-1)[0])
+    s_out2 = float(np.asarray(t_outf.quant.scales).reshape(-1)[0])
+    zp_out2 = int(np.asarray(t_outf.quant.zero_points).reshape(-1)[0])
+    tf = (t - zp_mid) * s_mid
+    rf = (residual.astype(jnp.float32) - zp_r) * s_r
+    y = qmath.round_away((tf + rf) / s_out2) + zp_out2
+    if p.get("fused_add_relu"):
+        y = jnp.maximum(y, float(zp_out2))
+    lo2, hi2 = qmath.QRANGE[t_outf.dtype]
+    return nhwc(jnp.clip(y, lo2, hi2).astype(store))
 
 
 def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
@@ -566,14 +602,16 @@ def lower_fc_quant_pallas(ctx: LowerCtx, x: TArr, *rest: TArr):
 @register_op(
     "Convolution",
     score=SCORE_BEST,
-    predicate=lambda c: _fast_enabled(c) and _no_fused_add(c),
+    predicate=_fast_enabled,
     quant=True,
 )
 def lower_conv_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
     t_in = ctx.in_tensor(0)
     integer_lhs = t_in.dtype == DType.INT8 and _native_int_ok()
     acc, pack = _conv_quant_common(ctx, x, integer_lhs=integer_lhs)
-    return _requant_conv_out(ctx, acc, pack)
+    fused_pos = ctx.params.get("fused_add_pos")
+    residual = as_nhwc(rest[fused_pos - 1]) if fused_pos is not None else None
+    return _requant_conv_out(ctx, acc, pack, residual=residual)
 
 
 @register_op(
@@ -658,8 +696,12 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         ).astype(jnp.float32)
     else:
         zp_w = int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
+        # bf16 HBM storage: zero-point-shifted weights are exact in bf16
+        # (|q| <= 255 < 2^8) — halves weight traffic vs f32, no convert op
         w = ctx.weight(
-            1, lambda a: (a.astype(np.float32) - zp_w).T.astype(np.float32), tag="kt_zshift"
+            1,
+            lambda a: (a.astype(np.float32) - zp_w).T.astype(jnp.bfloat16),
+            tag="kt_zshift_bf16",
         )
         if zp_in == 0 and xf.dtype == jnp.bfloat16:
             xs_f = xf
@@ -667,7 +709,7 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
             xs_f = (xf.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
         acc = lax.dot_general(
             xs_f,
-            w.astype(jnp.bfloat16),
+            w,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )

@@ -83,6 +83,7 @@ class InferenceServer:
         self._thread: Optional[threading.Thread] = None
         self._running = False
         self.stats = {"batches": 0, "requests": 0, "padded": 0}
+        self._stop_requested = False
         self._latencies: List[float] = []  # seconds, submit -> result set
         self._lat_cap = 100_000
 
@@ -100,17 +101,122 @@ class InferenceServer:
             self._compiled[batch] = cg
         return cg
 
+    # -- multi-host mode ----------------------------------------------------
+    #
+    # With jax.distributed initialized and a global mesh, serving runs in
+    # SPMD lockstep: every host drains its own request queue into a fixed
+    # local bucket (max_batch rows, zero-padded), the buckets are assembled
+    # into one DP-sharded global batch (host_local_batch_to_global — no DCN
+    # data movement, each shard stays on its host's chips), and all hosts
+    # dispatch the same global executable. The jit call is the cross-host
+    # barrier, so hosts stay in lockstep without a control plane; an idle
+    # host contributes an all-pad bucket. Fixed bucket size is what makes
+    # the lockstep coordination-free (hosts never need to agree dynamically
+    # on a bucket), at the price of padding under low load.
+
+    def _multihost(self) -> bool:
+        return self.mesh is not None and jax.process_count() > 1
+
+    def _local_rows(self, arr, local_b: int) -> np.ndarray:
+        """This host's rows of a global output array, reassembled from its
+        addressable shards. Handles any sharding: batch over "data" (rows are
+        host-local by construction — the mesh is host-major), model-axis
+        sharding of non-batch dims (each shard writes its slice), and
+        replication (identical overwrites)."""
+        p = jax.process_index()
+        lo, hi = p * local_b, (p + 1) * local_b
+        out = np.zeros((local_b,) + tuple(arr.shape[1:]), arr.dtype)
+        for s in arr.addressable_shards:
+            idx = s.index
+            b = idx[0]
+            bs = b.start or 0
+            be = b.stop if b.stop is not None else arr.shape[0]
+            s0, s1 = max(bs, lo), min(be, hi)
+            if s0 >= s1:
+                continue
+            data = np.asarray(s.data)
+            out[(slice(s0 - lo, s1 - lo),) + tuple(idx[1:])] = data[
+                s0 - bs : s1 - bs, ...
+            ]
+        return out
+
+    def _loop_multihost(self):
+        from .distributed import host_local_batch_to_global
+
+        local_b = self.max_batch
+        global_b = local_b * jax.process_count()
+        cg = self._get_compiled(global_b)
+        client = getattr(
+            getattr(jax._src, "distributed", None), "global_state", None
+        )
+        client = getattr(client, "client", None)
+        stop_dir = f"/tt/serve_stop/{self.graph.name}_{self.max_batch}/"
+        announced = False
+        while self._running:
+            if self._stop_requested:
+                if client is None:
+                    break
+                if not announced:
+                    try:
+                        client.key_value_set(
+                            stop_dir + str(jax.process_index()), "1"
+                        )
+                    except Exception:
+                        pass
+                    announced = True
+                try:
+                    done = len(client.key_value_dir_get(stop_dir))
+                except Exception:
+                    done = 0
+                if done >= jax.process_count():
+                    break
+            batch = self._collect(block=False)
+            n = len(batch)
+            xs = [r.x for r in batch]
+            if n < local_b:
+                pad_shape = (local_b - n,) + tuple(self._base_shape[1:])
+                dt = xs[0].dtype if xs else np.dtype(np.float32)
+                xs.append(np.zeros(pad_shape, dt))
+                self.stats["padded"] += local_b - n
+            x = np.concatenate(xs, axis=0)
+            xg = host_local_batch_to_global(x, self.mesh)
+            try:
+                outs = cg(xg)
+                outs = [self._local_rows(o, local_b) for o in outs]
+            except Exception as e:  # pragma: no cover
+                logger.error("multihost serving batch failed: %s", e)
+                for r in batch:
+                    r.future.set_exception(e)
+                continue
+            self.stats["batches"] += 1
+            self.stats["requests"] += n
+            done = time.perf_counter()
+            for i, r in enumerate(batch):
+                r.future.set_result([o[i : i + 1] for o in outs])
+                if len(self._latencies) < self._lat_cap:
+                    self._latencies.append(done - r.enqueued_at)
+
     # -- public API --------------------------------------------------------
 
     def start(self):
         self._running = True
-        self._thread = threading.Thread(target=self._loop, daemon=True)
+        target = self._loop_multihost if self._multihost() else self._loop
+        self._thread = threading.Thread(target=target, daemon=True)
         self._thread.start()
 
     def stop(self):
-        self._running = False
-        if self._thread:
-            self._thread.join(timeout=5)
+        if self._multihost() and self._thread and self._thread.is_alive():
+            # distributed shutdown: hosts may have run different numbers of
+            # rounds, and a host that simply exits strands its peers at the
+            # SPMD barrier. Announce stop via the coordination KV store and
+            # keep serving empty rounds until every host has announced.
+            self._stop_requested = True
+            self._thread.join(timeout=60)
+            self._running = False
+        else:
+            self._running = False
+            if self._thread:
+                self._thread.join(timeout=5)
 
     def submit(self, x: np.ndarray) -> Future:
         x = np.asarray(x)
@@ -127,9 +233,9 @@ class InferenceServer:
 
     # -- batching loop -----------------------------------------------------
 
-    def _collect(self) -> List[_Request]:
+    def _collect(self, block: bool = True) -> List[_Request]:
         try:
-            first = self._queue.get(timeout=0.05)
+            first = self._queue.get(timeout=0.05 if block else self.max_wait_s)
         except queue.Empty:
             return []
         batch = [first]

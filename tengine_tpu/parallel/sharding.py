@@ -32,7 +32,7 @@ def param_spec(key: str, arr, tp: int) -> P:
     # conv weights, HWIO layout (float + quantized zero-point-shifted/deq
     # variants): shard output channels
     if (
-        tag in ("hwio", "hwio_zshift", "hwio_i8", "hwio_deq")
+        tag in ("hwio", "hwio_zshift", "hwio_zshift_bf16", "hwio_i8", "hwio_deq")
         and len(shape) == 4
         and shape[3] % tp == 0
         and shape[3] >= 2 * tp
@@ -40,7 +40,7 @@ def param_spec(key: str, arr, tp: int) -> P:
         return P(None, None, None, "model")
     # FC weights, [K, N] transposed layouts: shard output dim
     if (
-        tag in ("kt_zshift", "kt_i8", "kt_deq")
+        tag in ("kt_zshift", "kt_zshift_bf16", "kt_i8", "kt_deq")
         and len(shape) == 2
         and shape[1] % tp == 0
         and shape[1] >= 2 * tp

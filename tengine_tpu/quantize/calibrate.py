@@ -76,7 +76,14 @@ def collect_activation_ranges(
             s.count += a.size
             if with_histograms:
                 amax = max(abs(s.min), abs(s.max), 1e-9)
-                h, _ = np.histogram(np.abs(a), bins=bins, range=(0, amax))
+                # exact zeros are EXCLUDED from the KL histogram, matching
+                # the reference (quant_utils.cpp:histCount `if (data[i]!=0)`).
+                # Post-ReLU activations can be >90% zeros; counting them
+                # makes every small clip threshold look KL-optimal (the zero
+                # bin is always represented) and collapses the scale — seen
+                # as a 0.10 top-1 on the depthwise digit net before the fix.
+                nz = a[a != 0]
+                h, _ = np.histogram(np.abs(nz), bins=bins, range=(0, amax))
                 if s.hist is None or s.hist_max < amax:
                     # rebin existing histogram into the new range
                     if s.hist is not None and s.hist_max > 0:

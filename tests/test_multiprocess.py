@@ -107,6 +107,64 @@ print("DETECT_OK", flush=True)
 """
 
 
+_SERVING_WORKER = r"""
+import os, sys, time
+pid = int(sys.argv[1]); port = sys.argv[2]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+import numpy as np
+from tengine_tpu.parallel.distributed import global_mesh, init_distributed
+from tengine_tpu.parallel.serving import InferenceServer
+from tengine_tpu.executor.engine import compile_graph
+from tengine_tpu.graph.ir import DType, Graph, TensorType
+from tengine_tpu.utils.config import Options
+
+assert init_distributed(f"localhost:{port}", num_processes=2, process_id=pid)
+
+# tiny conv net with deterministic weights (identical on both hosts)
+wrng = np.random.default_rng(7)
+g = Graph(name="serve_mh")
+x = g.add_tensor("data", DType.FP32, (1, 3, 8, 8), TensorType.INPUT)
+wdata = wrng.standard_normal((4, 3, 3, 3)).astype(np.float32)
+wt = g.add_tensor("w", DType.FP32, wdata.shape, TensorType.CONST, data=wdata)
+y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+inp = g.add_node("InputOp", "input", [], [x.idx])
+g.add_node("Convolution", "conv", [x.idx, wt.idx], [y.idx],
+           params=dict(kernel_h=3, kernel_w=3, stride_h=1, stride_w=1,
+                       dilation_h=1, dilation_w=1, input_channel=3,
+                       output_channel=4, group=1, activation=0,
+                       pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1))
+g.inputs = [inp.idx]
+g.outputs = [g.nodes[-1].idx]
+
+mesh = global_mesh(tp=2)           # (data=4, model=2); data spans hosts
+
+srv = InferenceServer(g, options=Options(), mesh=mesh, max_batch=4,
+                      max_wait_ms=30.0)
+srv.start()
+# each host submits its own requests (continuous batching across hosts)
+rng = np.random.default_rng(123 + pid)
+xs = [rng.standard_normal((1, 3, 8, 8)).astype(np.float32) for _ in range(6)]
+futs = [srv.submit(x) for x in xs]
+outs = [f.result(timeout=120) for f in futs]
+srv.stop()
+
+# cross-check against the single-process compiled graph
+cg = compile_graph(g, Options(batch_size=1))
+for x, o in zip(xs, outs):
+    want = np.asarray(cg(x)[0])
+    got = np.asarray(o[0])
+    assert np.allclose(got, want, rtol=1e-5, atol=1e-5), (got, want)
+stats = srv.latency_stats()
+assert stats["count"] == 6
+assert srv.stats["requests"] == 6
+print(f"SERVE_OK {pid} p50={stats['p50_ms']:.2f}ms", flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -180,3 +238,38 @@ def test_heartbeat_detects_dead_peer(tmp_path):
     rc0, out0, err0 = outs[0]
     assert rc0 == 0, f"survivor failed rc={rc0}\n{out0}\n{err0[-2000:]}"
     assert "DETECT_OK" in out0
+
+
+def test_multihost_continuous_batching(tmp_path):
+    """Cross-host batch assembly in InferenceServer (VERDICT r1 item 6):
+    two processes each submit their own requests; the server pads each
+    host's bucket, assembles the DP-sharded global batch over the mesh,
+    and every request's result matches the single-process engine."""
+    port = _free_port()
+    script = tmp_path / "worker_serving.py"
+    script.write_text(_SERVING_WORKER)
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in [os.path.dirname(os.path.dirname(__file__)),
+                    env.get("PYTHONPATH", "")] if p
+    )
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(pid), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, env=env, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("serving worker timed out")
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, f"serving worker failed rc={rc}\n{out}\n{err[-2000:]}"
+        assert "SERVE_OK" in out

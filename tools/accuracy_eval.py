@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Real-model quantization accuracy: train CNNs on a real dataset, quantize
+with real calibration data, and publish top-1 Δ (INT8/UINT8 vs FP32).
+
+This is the BASELINE.json "top-1 Δ vs FP32" axis. The reference validates its
+quant tools on pretrained ImageNet models (tools/quantize/README.md:96-135,
+per-layer cosine >= 0.95); this environment has zero network egress and no
+pretrained zoo on disk, so the honest equivalent is: train real models from
+scratch on the one real vision dataset available offline
+(sklearn.datasets.load_digits — 1797 handwritten 8x8 digit images, the
+classic UCI test set), quantize with calibration on real training images,
+and measure true top-1 on the held-out test split.
+
+Two architectures exercise the two quantized conv paths:
+  * digit_cnn   — plain conv+BN+ReLU+maxpool stack (vgg/resnet-style convs)
+  * digit_dwnet — depthwise-separable blocks (mobilenet-style dw+pw)
+
+Pipeline per model: torch train -> convert.from_torch -> our IR ->
+quantize_graph (uint8 minmax asymmetric per-tensor / int8 KL per-channel,
+the two reference quant tools) -> top-1 on the test split through the
+compiled TPU/CPU engine.
+
+With --reference, the quantized graph is additionally serialized to a
+tmfile and evaluated through the reference C engine (libtengine-lite.so)
+on the same test set — demonstrating the same artifact scores the same
+top-1 in both runtimes.
+
+Usage: python tools/accuracy_eval.py [--epochs N] [--publish] [--reference]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SEED = 0
+
+
+def load_digits_32():
+    """sklearn digits upsampled 8x8 -> 32x32 (nearest), NCHW float in [0,16].
+
+    Deterministic stratified 80/20 split."""
+    from sklearn.datasets import load_digits
+    from sklearn.model_selection import train_test_split
+
+    d = load_digits()
+    x = d.images.astype(np.float32)  # [N, 8, 8], values 0..16
+    x = np.repeat(np.repeat(x, 4, axis=1), 4, axis=2)  # 32x32 nearest
+    x = (x / 8.0 - 1.0)[:, None]  # [-1, 1], NCHW with C=1
+    xtr, xte, ytr, yte = train_test_split(
+        x, d.target, test_size=0.2, random_state=SEED, stratify=d.target
+    )
+    return xtr, ytr.astype(np.int64), xte, yte.astype(np.int64)
+
+
+def build_models():
+    import torch.nn as nn
+
+    class DigitCNN(nn.Sequential):
+        def __init__(self):
+            super().__init__(
+                nn.Conv2d(1, 16, 3, padding=1), nn.BatchNorm2d(16), nn.ReLU(),
+                nn.MaxPool2d(2),
+                nn.Conv2d(16, 32, 3, padding=1), nn.BatchNorm2d(32), nn.ReLU(),
+                nn.MaxPool2d(2),
+                nn.Conv2d(32, 64, 3, padding=1), nn.BatchNorm2d(64), nn.ReLU(),
+                nn.MaxPool2d(2),
+                nn.Flatten(),
+                nn.Linear(64 * 4 * 4, 10),
+            )
+
+    def dw_block(cin, cout, stride):
+        import torch.nn as nn
+
+        return nn.Sequential(
+            nn.Conv2d(cin, cin, 3, stride=stride, padding=1, groups=cin),
+            nn.BatchNorm2d(cin), nn.ReLU(),
+            nn.Conv2d(cin, cout, 1), nn.BatchNorm2d(cout), nn.ReLU(),
+        )
+
+    class DigitDWNet(nn.Sequential):
+        def __init__(self):
+            super().__init__(
+                nn.Conv2d(1, 16, 3, stride=2, padding=1),
+                nn.BatchNorm2d(16), nn.ReLU(),
+                dw_block(16, 32, 1),
+                dw_block(32, 64, 2),
+                dw_block(64, 64, 1),
+                nn.AvgPool2d(8),
+                nn.Flatten(),
+                nn.Linear(64, 10),
+            )
+
+    return {"digit_cnn": DigitCNN(), "digit_dwnet": DigitDWNet()}
+
+
+def train(model, xtr, ytr, xte, yte, epochs):
+    import torch
+
+    torch.manual_seed(SEED)
+    opt = torch.optim.Adam(model.parameters(), lr=2e-3)
+    lossf = torch.nn.CrossEntropyLoss()
+    xt = torch.from_numpy(xtr)
+    yt = torch.from_numpy(ytr)
+    n = len(xt)
+    for ep in range(epochs):
+        model.train()
+        perm = torch.randperm(n)
+        for i in range(0, n, 64):
+            idx = perm[i : i + 64]
+            opt.zero_grad()
+            loss = lossf(model(xt[idx]), yt[idx])
+            loss.backward()
+            opt.step()
+    model.eval()
+    with torch.no_grad():
+        acc = (
+            (model(torch.from_numpy(xte)).argmax(1).numpy() == yte).mean()
+        )
+    return float(acc)
+
+
+def top1_ours(graph, x, y, quantized, batch=360):
+    """Top-1 of a (possibly quantized) graph through our compiled engine."""
+    import jax
+
+    from tengine_tpu.executor.engine import compile_graph
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.utils.config import Options
+
+    cg = compile_graph(graph, Options(batch_size=batch, quant_mode="fast"))
+    correct = 0
+    for i in range(0, len(x), batch):
+        xb = x[i : i + batch]
+        pad = batch - len(xb)
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+        if quantized:
+            t_in = graph.tensors[graph.input_tensors[0]]
+            xb = qmath.quantize_np(xb, t_in.quant, t_in.dtype)
+        out = np.asarray(jax.device_get(cg(xb)[0]))
+        pred = out.reshape(batch, -1).argmax(1)[: batch - pad if pad else batch]
+        correct += int((pred == y[i : i + len(pred)]).sum())
+    return correct / len(x)
+
+
+def top1_reference(graph, x, y, tmpdir):
+    """Top-1 of the same quantized tmfile run by the reference C engine
+    (single batched run through the parity-suite subprocess runner)."""
+    import pathlib
+
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.serializer.tm2.writer import save_tmfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from tests.test_reference_parity import REF_LIB, run_reference
+
+    if not os.path.exists(REF_LIB):
+        return None
+
+    tmfile = os.path.join(tmpdir, "m.tmfile")
+    save_tmfile(graph, tmfile)
+    t_in = graph.tensors[graph.input_tensors[0]]
+    xq = qmath.quantize_np(x, t_in.quant, t_in.dtype)
+    out = run_reference(tmfile, xq, pathlib.Path(tmpdir))
+    pred = out.reshape(len(x), -1).argmax(1)
+    return float((pred == y).mean())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--calib", type=int, default=64, help="calibration images")
+    ap.add_argument("--publish", action="store_true",
+                    help="write results into BASELINE.json['published']")
+    ap.add_argument("--reference", action="store_true",
+                    help="also score the quantized tmfile in the C engine")
+    ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument(
+        "--tpu", action="store_true",
+        help="evaluate on the TPU (default: CPU — the numbers are "
+        "device-independent and this avoids contending for the dev chip; "
+        "note the axon plugin ignores JAX_PLATFORMS, so we use jax.config)",
+    )
+    args = ap.parse_args()
+
+    if not args.tpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    import torch
+
+    from tengine_tpu.convert.torch_frontend import from_torch
+    from tengine_tpu.quantize.quantizer import quantize_graph
+
+    xtr, ytr, xte, yte = load_digits_32()
+    rng = np.random.default_rng(SEED)
+    calib_idx = rng.choice(len(xtr), args.calib, replace=False)
+    calib = [xtr[i : i + 1] for i in calib_idx]
+
+    results = {}
+    for name, model in build_models().items():
+        if args.models and name not in args.models:
+            continue
+        torch_acc = train(model, xtr, ytr, xte, yte, args.epochs)
+        g = from_torch(model, torch.zeros(1, 1, 32, 32))
+        fp32 = top1_ours(g, xte, yte, quantized=False)
+        row = {
+            "dataset": "sklearn_digits (1437 train / 360 test, 10 classes)",
+            "torch_fp32_top1": round(torch_acc, 4),
+            "ours_fp32_top1": round(fp32, 4),
+        }
+        for scheme, algo in (("uint8", "minmax"), ("int8", "kl")):
+            qg = quantize_graph(g, calib, scheme=scheme, algorithm=algo)
+            q1 = top1_ours(qg, xte, yte, quantized=True)
+            key = f"{scheme}_{algo}"
+            row[f"{key}_top1"] = round(q1, 4)
+            row[f"{key}_delta_vs_fp32"] = round(q1 - fp32, 4)
+            if args.reference:
+                with tempfile.TemporaryDirectory() as td:
+                    r1 = top1_reference(qg, xte, yte, td)
+                if r1 is not None:
+                    row[f"{key}_reference_engine_top1"] = round(r1, 4)
+        results[name] = row
+        print(name, json.dumps(row, indent=2))
+
+    if args.publish:
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        path = os.path.join(repo, "BASELINE.json")
+        with open(path) as f:
+            base = json.load(f)
+        base["published"] = {
+            "provenance": (
+                "zero-egress build environment: no pretrained zoo / ImageNet "
+                "on disk, so models are trained from scratch on the one real "
+                "vision dataset available offline (sklearn digits). "
+                "Reproduce: python tools/accuracy_eval.py --publish "
+                f"--epochs {args.epochs} (seed {SEED})"
+            ),
+            "metric": "top-1 on held-out test split; delta = quantized - fp32",
+            "models": results,
+        }
+        with open(path, "w") as f:
+            json.dump(base, f, indent=2)
+        print("published to BASELINE.json")
+
+
+if __name__ == "__main__":
+    main()
