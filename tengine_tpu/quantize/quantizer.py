@@ -18,6 +18,7 @@ import numpy as np
 from ..graph.ir import DType, Graph, QuantParam, TensorType
 from ..ops import qmath
 from ..utils.config import Options
+from ..utils.log import logger
 from .calibrate import (
     ActivationStats,
     aciq_int8,
@@ -53,7 +54,7 @@ def quantize_graph(
     """
     if scheme not in ("uint8", "int8"):
         raise ValueError(f"unknown scheme {scheme!r}")
-    if algorithm not in ("minmax", "kl", "aciq"):
+    if algorithm not in ("minmax", "kl", "aciq", "eq"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
     act_dtype = DType.UINT8 if scheme == "uint8" else DType.INT8
 
@@ -134,6 +135,14 @@ def quantize_graph(
                 zero_points=np.zeros(b_scales.size, np.int32),
                 width=32,
             )
+
+    if algorithm == "eq" and scheme == "int8":
+        # search-based per-channel weight-scale equalization on top of the
+        # minmax base quantization (quant_eq.cpp QuantTool::quant_search)
+        from .eq import eq_adjust_weights
+
+        n = eq_adjust_weights(graph, q, calibration_inputs, options)
+        logger.info("eq search adjusted %d weighted nodes", n)
 
     q._is_quantized = True
     return q

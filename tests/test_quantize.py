@@ -237,3 +237,45 @@ def test_top1_agreement_metric():
     calib = [rng.standard_normal(shape).astype(np.float32) for _ in range(4)]
     qg = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
     assert top1_agreement(g, qg, calib) == 100.0
+
+
+def test_eq_search_quantization(rng):
+    """EQ (quant_eq.cpp quant_search equivalent): the per-channel zoom
+    search yields valid scales in (0, base] on every weighted node, the
+    quantized net still runs, and per-output cosine vs fp32 does not regress
+    relative to plain minmax."""
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.quantize.quantizer import quantize_graph
+
+    g = load_benchmark_model("squeezenet_v1.1", fill_missing_weights="random")
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    calib = [rng.standard_normal(shape).astype(np.float32) for _ in range(3)]
+    q_mm = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+    q_eq = quantize_graph(g, calib, scheme="int8", algorithm="eq")
+
+    fp32_out = compile_graph(g, Options()).run(calib[0])[0].reshape(-1)
+
+    def cos(qg):
+        t_in = qg.tensors[qg.input_tensors[0]]
+        xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+        o = compile_graph(qg, Options(quant_mode="fast")).run(xq)[0]
+        o = qmath.dequantize_np(
+            np.asarray(o), qg.tensors[qg.nodes[qg.outputs[0]].outputs[0]].quant
+        ).reshape(-1)
+        a, b = fp32_out.astype(np.float64), o.astype(np.float64)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    # every conv weight got per-channel scales bounded by the minmax base
+    checked = 0
+    for n_mm, n_eq in zip(q_mm.nodes, q_eq.nodes):
+        if n_mm.op != "Convolution":
+            continue
+        s_mm = np.asarray(q_mm.tensors[n_mm.inputs[1]].quant.scales)
+        s_eq = np.asarray(q_eq.tensors[n_eq.inputs[1]].quant.scales)
+        assert s_eq.shape == s_mm.shape
+        assert np.all(s_eq > 0)
+        assert np.all(s_eq <= s_mm * 1.3 + 1e-12)
+        checked += 1
+    assert checked >= 3
+    c_eq, c_mm = cos(q_eq), cos(q_mm)
+    assert c_eq > 0.98 and c_eq >= c_mm - 0.005, (c_eq, c_mm)

@@ -150,17 +150,39 @@ def top1_ours(graph, x, y, quantized, batch=360):
     return correct / len(x)
 
 
-def top1_reference(graph, x, y, tmpdir):
-    """Top-1 of the same quantized tmfile run by the reference C engine
-    (single batched run through the parity-suite subprocess runner)."""
-    import pathlib
+_REF_RUNNER = r"""
+import sys
+import numpy as np
+sys.path.insert(0, '/root/reference/pytengine')
+from tengine import tg
 
+tmfile, in_npy, out_npy = sys.argv[1:4]
+x = np.load(in_npy)
+graph = tg.Graph(None, 'tengine', tmfile)
+itensor = graph.getInputTensor(0, 0)
+graph.preRun()
+preds = []
+for i in range(x.shape[0]):
+    itensor.buf = np.ascontiguousarray(x[i:i+1])
+    graph.run(1)
+    t = graph.getOutputTensor(0, 0)
+    preds.append(int(np.asarray(np.array(t.buf)).reshape(-1).argmax()))
+np.save(out_npy, np.asarray(preds))
+import os
+os._exit(0)
+"""
+
+
+def top1_reference(graph, x, y, tmpdir):
+    """Top-1 of the same quantized tmfile run by the reference C engine —
+    per-image at the tmfile's native batch-1 shape (its fixed-dim Reshape
+    nodes don't rebatch), one subprocess for all images."""
     from tengine_tpu.ops import qmath
     from tengine_tpu.serializer.tm2.writer import save_tmfile
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    from tests.test_reference_parity import REF_LIB, run_reference
+    from tests.test_reference_parity import REF_LIB, REF_LIB_DIR
 
     if not os.path.exists(REF_LIB):
         return None
@@ -169,8 +191,18 @@ def top1_reference(graph, x, y, tmpdir):
     save_tmfile(graph, tmfile)
     t_in = graph.tensors[graph.input_tensors[0]]
     xq = qmath.quantize_np(x, t_in.quant, t_in.dtype)
-    out = run_reference(tmfile, xq, pathlib.Path(tmpdir))
-    pred = out.reshape(len(x), -1).argmax(1)
+    in_npy = os.path.join(tmpdir, "in.npy")
+    out_npy = os.path.join(tmpdir, "out.npy")
+    np.save(in_npy, xq)
+    env = dict(os.environ, LD_LIBRARY_PATH=REF_LIB_DIR, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", _REF_RUNNER, tmfile, in_npy, out_npy],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    if not os.path.exists(out_npy):
+        print("reference engine run failed:", r.stdout[-500:], r.stderr[-500:])
+        return None
+    pred = np.load(out_npy)
     return float((pred == y).mean())
 
 
