@@ -163,6 +163,45 @@ def bench_face_pipeline(max_faces=8):
     return total_ms, stages
 
 
+HISTORY = "bench_history.json"
+
+
+def regression_gate(results: dict, tol: float = 0.02):
+    """Compare per-config img/s against the committed previous round
+    (bench_history.json) and flag drops > tol loudly on stderr; then record
+    the new numbers. The history file is committed each round, so every
+    round's bench is gated against the last (VERDICT r2 item 3)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), HISTORY)
+    prev = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+        except Exception:
+            prev = {}
+    regressions = []
+    for k, v in results.items():
+        p = prev.get(k)
+        if p and v < p * (1 - tol):
+            regressions.append((k, p, v))
+            print(
+                f"[bench] REGRESSION {k}: {p:.0f} -> {v:.0f} img/s "
+                f"({100 * (v / p - 1):+.1f}%)",
+                file=sys.stderr,
+            )
+    if not regressions:
+        print(
+            f"[bench] regression gate: {len(results)} configs, none below "
+            f"previous round (tol {tol:.0%})",
+            file=sys.stderr,
+        )
+    with open(path, "w") as f:
+        json.dump({**prev, **results}, f, indent=1, sort_keys=True)
+    return regressions
+
+
 def main():
     model = "mobilenetv1"
     # mobilenet_v1, 4 threads, VIM3 big cluster (BASELINE.md) => 31.2 img/s.
@@ -181,8 +220,10 @@ def main():
         file=sys.stderr,
     )
 
+    results = {}
     u8_lat_ms, _ = bench_model_uint8(model, batch=1)
     u8_ms, u8_ips = bench_model_uint8(model, batch=128)
+    results["mobilenetv1_uint8_b128"] = u8_ips
     print(
         f"[bench] {model} uint8: p50-ish latency {u8_lat_ms:.3f} ms (batch 1); "
         f"{u8_ips:.0f} img/s (batch 128) vs baseline {baseline_ips:.1f} img/s "
@@ -193,24 +234,28 @@ def main():
     # secondary BASELINE.json configs (stderr only)
     try:
         r50_ms, r50_ips = bench_model_quant("resnet50", batch=128, scheme="int8", algorithm="kl")
+        results["resnet50_int8kl_b128"] = r50_ips
         print(
             f"[bench] resnet50 int8(KL): {r50_ips:.0f} img/s (batch 128) "
             f"vs baseline {1000/174.66:.1f} img/s -> {r50_ips/(1000/174.66):.0f}x",
             file=sys.stderr,
         )
         mssd_ms, mssd_ips = bench_model_quant("mssd", batch=8, scheme="uint8")
+        results["mssd_uint8_b8"] = mssd_ips
         print(
             f"[bench] mssd uint8 (incl. NMS): {mssd_ips:.0f} img/s (batch 8) "
             f"vs baseline {1000/66.67:.1f} img/s -> {mssd_ips/(1000/66.67):.0f}x",
             file=sys.stderr,
         )
         y5_ms, y5_ips = bench_yolov5s(batch=8)
+        results["yolov5s640_int8_b8"] = y5_ips
         print(
             f"[bench] yolov5s 640 int8: {y5_ips:.0f} img/s (batch 8), "
             f"{y5_ms/8:.3f} ms/img device time",
             file=sys.stderr,
         )
         face_ms, face_stages = bench_face_pipeline(max_faces=8)
+        results["face_pipeline_fps"] = 1000 / face_ms
         print(
             f"[bench] retinaface+mobilefacenet uint8 two-stage: "
             f"{1000/face_ms:.0f} frames/s (8 faces/frame worst case; "
@@ -220,6 +265,7 @@ def main():
         )
     except Exception as e:
         print(f"[bench] secondary configs failed: {e}", file=sys.stderr)
+    regression_gate(results)
     result = {
         "metric": f"{model}_uint8_images_per_sec_per_chip",
         "value": round(u8_ips, 0),

@@ -289,6 +289,14 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
         g2 = graph.clone()
         if stem_conv_s2d(g2):
             graph = g2
+    if fast_quant and options.fuse_resblock:
+        # whole bottleneck-block chains -> one Pallas kernel per VMEM-sized
+        # sub-chain (runs before fuse_conv_add, which would otherwise absorb
+        # the residual Eltwise into the conv epilogue)
+        from ..graph.passes import fuse_resnet_blocks
+
+        graph = graph.clone()
+        fuse_resnet_blocks(graph)
     if fast_quant and options.fuse_dwpw:
         from ..graph.passes import fuse_dwpw
 

@@ -819,6 +819,10 @@ def fuse_conv_add(g: Graph, geometry: str = "pallas") -> int:
             conv.params["fused_add_mid"] = mid_tid
             conv.outputs = [add.outputs[0]]
             g.tensors[add.outputs[0]].producer = conv.idx
+            if add.idx in g.outputs:
+                # the fused Eltwise was itself a graph output node: remap so
+                # Graph.output_tensors keeps resolving its tensor
+                g.outputs = [conv.idx if o == add.idx else o for o in g.outputs]
             r.consumers = sorted(set([c for c in r.consumers if c != add.idx] + [conv.idx]))
             mid.consumers = []
             add.op = "Noop"
@@ -857,6 +861,261 @@ def fuse_conv_add(g: Graph, geometry: str = "pallas") -> int:
             fused += 1
             break
     return fused
+
+
+def _consumers_of(g: Graph, tid: int) -> List[int]:
+    return [c for c in g.tensors[tid].consumers if tid in g.nodes[c].inputs]
+
+
+def _is_conv_geom(g: Graph, n, k: int, strides=(1,), pad: int = 0) -> bool:
+    if n is None or n.op != "Convolution" or len(n.inputs) < 2:
+        return False
+    p = n.params
+    wt = g.tensors[n.inputs[1]]
+    if len(wt.shape) != 4 or int(wt.shape[2]) != k or int(wt.shape[3]) != k:
+        return False
+    return (
+        p.get("group", 1) == 1
+        and p.get("dilation_h", 1) == 1
+        and p.get("dilation_w", 1) == 1
+        and p.get("stride_h", 1) == p.get("stride_w", 1)
+        and p.get("stride_h", 1) in strides
+        and all(p.get(f"pad_{a}", 0) == pad for a in ("h0", "h1", "w0", "w1"))
+    )
+
+
+def _sym_int8_act(t) -> bool:
+    return (
+        t.quant is not None
+        and not t.quant.per_channel
+        and t.dtype.name == "INT8"
+        and int(np.asarray(t.quant.zero_points).reshape(-1)[0]) == 0
+    )
+
+
+def _sym_int8_weight(t) -> bool:
+    if t.quant is None or t.dtype.name != "INT8":
+        return False
+    zps = np.asarray(t.quant.zero_points).reshape(-1)
+    return bool(np.all(zps == 0))
+
+
+def _match_bottleneck(g: Graph, add) -> Optional[dict]:
+    """Match one quantized bottleneck: conv1x1(+act) -> conv3x3 s1 p1(+act)
+    -> conv1x1 -> Eltwise SUM (+ optional trailing ReLu), residual = the
+    conv1 input (identity) or a 1x1 projection conv on it. Downsample blocks
+    (Caffe-resnet style: stride 2 in conv1 AND the projection, 3x3 stays
+    stride 1) match too — stride-2 1x1 pad-0 convs consume only the
+    even-subsampled input, so the lowering feeds x[::2, ::2] and runs the
+    block as stride 1."""
+    from ..serializer.tm2 import format as tmfmt
+
+    if add.op != "Eltwise" or add.params.get("type") != tmfmt.ELT_SUM:
+        return None
+    if len(add.inputs) != 2 or add.params.get("activation", -1) not in (-1, None):
+        return None
+    for which in (0, 1):
+        mid3_tid, r_tid = add.inputs[which], add.inputs[1 - which]
+        mid3 = g.tensors[mid3_tid]
+        if mid3.producer is None:
+            continue
+        conv3 = g.nodes[mid3.producer]
+        if not _is_conv_geom(g, conv3, 1, (1,), 0):
+            continue
+        if conv3.params.get("activation", -1) not in (-1, None):
+            continue
+        mid2 = g.tensors[conv3.inputs[0]]
+        if mid2.producer is None:
+            continue
+        conv2 = g.nodes[mid2.producer]
+        if not _is_conv_geom(g, conv2, 3, (1,), 1):
+            continue
+        mid1 = g.tensors[conv2.inputs[0]]
+        if mid1.producer is None:
+            continue
+        conv1 = g.nodes[mid1.producer]
+        if not _is_conv_geom(g, conv1, 1, (1, 2), 0):
+            continue
+        stride = conv1.params.get("stride_h", 1)
+        x_tid = conv1.inputs[0]
+
+        conv4 = None
+        if r_tid == x_tid:
+            if stride != 1:
+                continue
+        else:
+            r = g.tensors[r_tid]
+            if r.producer is None:
+                continue
+            conv4 = g.nodes[r.producer]
+            if not _is_conv_geom(g, conv4, 1, (stride,), 0):
+                continue
+            if conv4.inputs[0] != x_tid:
+                continue
+            if conv4.params.get("activation", -1) not in (-1, None):
+                continue
+            if _consumers_of(g, r_tid) != [add.idx]:
+                continue
+        # exclusive dataflow through the block
+        if _consumers_of(g, mid1.idx) != [conv2.idx]:
+            continue
+        if _consumers_of(g, mid2.idx) != [conv3.idx]:
+            continue
+        if _consumers_of(g, mid3_tid) != [add.idx]:
+            continue
+        # optional trailing relu (any quant scale: the kernel reproduces the
+        # separate-node requant)
+        relu = _single_consumer(g, add)
+        if (
+            relu is not None
+            and relu.op == "ReLu"
+            and not relu.params.get("negative_slope")
+            and add.idx not in g.outputs
+        ):
+            out_node, out_tid = relu, relu.outputs[0]
+        else:
+            relu, out_node, out_tid = None, add, add.outputs[0]
+
+        # quantization scheme: every activation int8 symmetric
+        acts = [g.tensors[t] for t in (x_tid, mid1.idx, mid2.idx, mid3_tid,
+                                       r_tid, add.outputs[0], out_tid)]
+        if not all(_sym_int8_act(t) for t in acts):
+            continue
+        convs = [conv1, conv2, conv3] + ([conv4] if conv4 else [])
+        if not all(_sym_int8_weight(g.tensors[c.inputs[1]]) for c in convs):
+            continue
+        if not all(
+            len(c.inputs) < 3 or g.tensors[c.inputs[2]].dtype.name == "INT32"
+            for c in convs
+        ):
+            continue
+        c_mid = int(g.tensors[conv2.inputs[1]].shape[0])
+        c_out = int(g.tensors[conv3.inputs[1]].shape[0])
+        c_in = int(g.tensors[conv1.inputs[1]].shape[1])
+        return dict(
+            conv1=conv1, conv2=conv2, conv3=conv3, conv4=conv4,
+            add=add, relu=relu, x_tid=x_tid, r_tid=r_tid,
+            mid1=mid1.idx, mid2=mid2.idx, mid3=mid3_tid,
+            out_tid=out_tid, out_node=out_node, stride=stride,
+            c_in=c_in, c_mid=c_mid, c_out=c_out,
+        )
+    return None
+
+
+def fuse_resnet_blocks(g: Graph) -> int:
+    """Fuse runs of quantized bottleneck residual blocks into
+    `FusedResBlockChain` nodes, lowered to the whole-chain Pallas kernel
+    (ops/pallas/qblock.py) that keeps every intermediate in VMEM. Returns
+    the number of blocks fused. Runs before fuse_conv_add (which would
+    otherwise absorb the Eltwise into conv3)."""
+    matches = {}
+    for add in g.nodes:
+        m = _match_bottleneck(g, add)
+        if m is not None:
+            matches[m["x_tid"]] = m
+
+    fused_blocks = 0
+    consumed = set()
+    heads = [
+        m for x_tid, m in matches.items()
+        # chain heads: blocks whose input is not another matched block's
+        # output (those are picked up by walking forward from the head; a
+        # broken link simply starts a fresh chain at the break because the
+        # breaking conditions below are link-local)
+        if not any(
+            m2["out_tid"] == x_tid
+            and set(_consumers_of(g, x_tid))
+            == {m["conv1"].idx, (m["conv4"].idx if m["conv4"] else m["add"].idx)}
+            and m2["c_mid"] == m["c_mid"] and m2["c_out"] == m["c_out"]
+            and m["stride"] == 1 and m2["out_node"].idx not in g.outputs
+            for m2 in matches.values()
+        )
+    ]
+    for first in heads:
+        if first["add"].idx in consumed:
+            continue
+        chain = [first]
+        while True:
+            nxt = matches.get(chain[-1]["out_tid"])
+            if nxt is None or nxt["add"].idx in consumed:
+                break
+            # chain link: the block output feeds ONLY the next block
+            # (conv1 + residual/projection), and geometry stays uniform
+            cons = set(_consumers_of(g, chain[-1]["out_tid"]))
+            nxt_cons = {nxt["conv1"].idx}
+            nxt_cons.add(nxt["conv4"].idx if nxt["conv4"] else nxt["add"].idx)
+            if cons != nxt_cons:
+                break
+            if nxt["stride"] != 1:
+                break  # downsample blocks start a new chain (input resolution changes)
+            if (nxt["c_mid"], nxt["c_out"]) != (chain[0]["c_mid"], chain[0]["c_out"]):
+                break
+            if chain[-1]["out_node"].idx in g.outputs:
+                break
+            chain.append(nxt)
+
+        # build the fused node
+        x_tid = first["x_tid"]
+        inputs = [x_tid]
+        binfos = []
+        for m in chain:
+            info = dict(
+                act1=m["conv1"].params.get("activation", -1),
+                act2=m["conv2"].params.get("activation", -1),
+                stride=m["stride"],
+                mid1=m["mid1"], mid2=m["mid2"], mid3=m["mid3"],
+                r_tid=m["r_tid"], add_out=m["add"].outputs[0],
+                out_tid=m["out_tid"], has_relu=m["relu"] is not None,
+                proj=m["conv4"] is not None,
+                c_in=m["c_in"], c_mid=m["c_mid"], c_out=m["c_out"],
+            )
+            for key, conv in (("w1", m["conv1"]), ("w2", m["conv2"]),
+                              ("w3", m["conv3"]), ("w4", m["conv4"])):
+                if conv is None:
+                    continue
+                info[key + "_pos"] = len(inputs)
+                inputs.append(conv.inputs[1])
+                if len(conv.inputs) > 2:
+                    info[key.replace("w", "b") + "_pos"] = len(inputs)
+                    inputs.append(conv.inputs[2])
+            binfos.append(info)
+
+        out_tid = chain[-1]["out_tid"]
+        absorbed = []
+        for m in chain:
+            absorbed += [m["conv1"], m["conv2"], m["conv3"], m["add"]]
+            if m["conv4"] is not None:
+                absorbed.append(m["conv4"])
+            if m["relu"] is not None:
+                absorbed.append(m["relu"])
+        absorbed_idx = {n.idx for n in absorbed}
+        for tid in set(inputs):
+            g.tensors[tid].consumers = [
+                c for c in g.tensors[tid].consumers if c not in absorbed_idx
+            ]
+        node = g.add_node(
+            "FusedResBlockChain",
+            f"resblocks[{chain[0]['conv1'].name}..x{len(chain)}]",
+            inputs, [out_tid], dict(blocks=binfos),
+        )
+        g.tensors[out_tid].producer = node.idx
+        # orphaned intermediate tensors keep their quant params (the lowering
+        # reads them by id), but no longer flow
+        for m in chain:
+            for tid in (m["mid1"], m["mid2"], m["mid3"]):
+                g.tensors[tid].consumers = []
+            if m is not chain[0]:
+                g.tensors[m["x_tid"]].consumers = []
+        last_out_node = chain[-1]["out_node"]
+        if last_out_node.idx in g.outputs:
+            g.outputs = [node.idx if o == last_out_node.idx else o for o in g.outputs]
+        for n in absorbed:
+            consumed.add(n.idx)
+            n.op = "Noop"
+            n.inputs = []
+            n.outputs = []
+        fused_blocks += len(chain)
+    return fused_blocks
 
 
 def optimize(g: Graph) -> Graph:

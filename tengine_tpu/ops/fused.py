@@ -355,3 +355,144 @@ def lower_fused_dwpw_float(ctx: LowerCtx, x: TArr, *rest):
         out = out + ctx.weight(p["bp_pos"], tag="fdw_bp_raw").astype(jnp.float32)
     out = apply_activation(out, p.get("act_p", -1))
     return nhwc(out.astype(dt) if dt != jnp.float32 else out)
+
+
+# ---------------------------------------------------------------------------
+# FusedResBlockChain (graph/passes.py:fuse_resnet_blocks): a run of whole
+# quantized bottleneck residual blocks executed by one Pallas kernel per
+# VMEM-sized sub-chain, activations resident in VMEM between convs AND
+# between blocks (ops/pallas/qblock.py). Reference analog: the armv8.2
+# i8gemm asm conv tier — fused at the TPU-native granularity (HBM traffic).
+# ---------------------------------------------------------------------------
+
+
+def _scale_of(t) -> float:
+    return float(np.asarray(t.quant.scales).reshape(-1)[0])
+
+
+def _resblock_vmem(blocks, M, WROW) -> int:
+    c0, c1 = blocks[0].c_in, blocks[0].c_mid
+    c2 = blocks[-1].c_out
+    w = sum(
+        b.c_in * b.c_mid + 9 * b.c_mid * b.c_mid + b.c_mid * b.c_out
+        + (b.c_in * b.c_out if b.proj else 0)
+        for b in blocks
+    )
+    acts = 4 * M * c0 + 6 * (M + 2 * WROW) * c1 + 4 * M * c2
+    acc = 4 * M * max(c1, c2) * 4  # int32/f32 temporaries (epilogues, 2 packs)
+    return w + acts + acc
+
+
+@register_op("FusedResBlockChain", score=SCORE_BEST, quant=True)
+def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
+    """Whole residual-block chains on the int8 MXU with VMEM-resident
+    intermediates; bit-faithful to the unfused quantized node chain
+    (tests/test_qblock_pallas.py, test_resblock_fusion.py)."""
+    from .pallas.qblock import (
+        QBlock, build_block_args, pack_activations, qblock_chain,
+        seg_geometry, unpack_activations,
+    )
+
+    g = ctx.graph
+    infos = ctx.params["blocks"]
+    t_x = ctx.in_tensor(0)
+    s_prev = _scale_of(t_x)
+
+    cfgs = []
+    for i, info in enumerate(infos):
+        t_add = g.tensors[info["add_out"]]
+        t_out = g.tensors[info["out_tid"]]
+        cfg = QBlock(
+            c_in=info["c_in"], c_mid=info["c_mid"], c_out=info["c_out"],
+            act1=info["act1"] if info["act1"] is not None else -1,
+            act2=info["act2"] if info["act2"] is not None else -1,
+            s1=_scale_of(g.tensors[info["mid1"]]),
+            s2=_scale_of(g.tensors[info["mid2"]]),
+            s_mid=_scale_of(g.tensors[info["mid3"]]),
+            s_r=_scale_of(g.tensors[info["r_tid"]]),
+            s_out=_scale_of(t_add),
+            s_relu=_scale_of(t_out) if info["has_relu"] else None,
+            proj=info["proj"],
+        )
+        cfgs.append(cfg)
+
+    def wscales(pos):
+        t = g.tensors[ctx.node.inputs[pos]]
+        s = np.asarray(t.quant.scales, np.float32).reshape(-1)
+        if s.size == 1:
+            s = np.full((int(t.shape[0]),), s[0], np.float32)
+        return s
+
+    # host-side packing, memoized so the 9-12 param-store entries per block
+    # share one build_block_args call at prepare time
+    memo = {}
+    all_args = []
+    sp = s_prev
+    for i, (info, cfg) in enumerate(zip(infos, cfgs)):
+        def compute_args(i=i, info=info, cfg=cfg, sp=sp):
+            if i not in memo:
+                def cd(key):
+                    pos = info.get(key)
+                    return None if pos is None else ctx.const_data(pos)
+
+                memo[i] = build_block_args(
+                    cfg,
+                    ctx.const_data(info["w1_pos"]), cd("b1_pos"),
+                    ctx.const_data(info["w2_pos"]), cd("b2_pos"),
+                    ctx.const_data(info["w3_pos"]), cd("b3_pos"),
+                    sp,
+                    wscales(info["w1_pos"]), wscales(info["w2_pos"]),
+                    wscales(info["w3_pos"]),
+                    w4=cd("w4_pos"), b4_q=cd("b4_pos"),
+                    sw4=wscales(info["w4_pos"]) if info["proj"] else None,
+                )
+            return memo[i]
+
+        n = 12 if cfg.proj else 9
+        for j in range(n):
+            all_args.append(
+                ctx.get_param(f"qblk{i}a{j}", lambda j=j, f=compute_args: f()[j])
+            )
+        sp = cfg.s_relu if cfg.s_relu is not None else cfg.s_out
+
+    xn = as_nhwc(x)
+    if jnp.issubdtype(xn.dtype, jnp.floating):
+        # bf16-storage mode: values are exact quantized integers
+        xn = xn.astype(jnp.int32).astype(jnp.int8)
+    if infos[0]["stride"] == 2:
+        # Caffe-resnet downsample: stride-2 1x1 convs (conv1 + projection)
+        # consume only the even-subsampled input
+        xn = xn[:, ::2, ::2, :]
+    N, H, W, _ = xn.shape
+    SEG, gpack = seg_geometry(W)
+    need = 2 * gpack
+    Np = ((N + need - 1) // need) * need
+    if Np != N:
+        xn = jnp.pad(xn, ((0, Np - N), (0, 0), (0, 0), (0, 0)))
+    xp = pack_activations(xn, H, W)
+
+    # split the chain so each kernel fits VMEM (weights resident)
+    M = xp.shape[1]
+    WROW = gpack * SEG
+    budget = 11 * 1024 * 1024
+    sub = []
+    start = 0
+    args_per = [12 if c.proj else 9 for c in cfgs]
+    for end in range(1, len(cfgs) + 1):
+        if end - start > 1 and _resblock_vmem(cfgs[start:end], M, WROW) > budget:
+            sub.append((start, end - 1))
+            start = end - 1
+    sub.append((start, len(cfgs)))
+
+    for lo, hi in sub:
+        a0 = sum(args_per[:lo])
+        a1 = sum(args_per[:hi])
+        xp = qblock_chain(
+            xp, *all_args[a0:a1], blocks=tuple(cfgs[lo:hi]), H=H, W=W
+        )
+    y = unpack_activations(xp, Np, H, W)
+    if Np != N:
+        y = y[:N]
+    if ctx.options.quant_bf16_storage:
+        y = y.astype(jnp.bfloat16)
+    return nhwc(y)

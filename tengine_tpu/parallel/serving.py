@@ -141,35 +141,27 @@ class InferenceServer:
         return out
 
     def _loop_multihost(self):
+        from jax.experimental import multihost_utils
+
         from .distributed import host_local_batch_to_global
 
         local_b = self.max_batch
         global_b = local_b * jax.process_count()
         cg = self._get_compiled(global_b)
-        client = getattr(
-            getattr(jax._src, "distributed", None), "global_state", None
-        )
-        client = getattr(client, "client", None)
-        stop_dir = f"/tt/serve_stop/{self.graph.name}_{self.max_batch}/"
-        announced = False
         while self._running:
-            if self._stop_requested:
-                if client is None:
-                    break
-                if not announced:
-                    try:
-                        client.key_value_set(
-                            stop_dir + str(jax.process_index()), "1"
-                        )
-                    except Exception:
-                        pass
-                    announced = True
-                try:
-                    done = len(client.key_value_dir_get(stop_dir))
-                except Exception:
-                    done = 0
-                if done >= jax.process_count():
-                    break
+            # Stop protocol, in-band with the SPMD lockstep: every round all
+            # hosts all-gather their stop flag (itself a collective, so it is
+            # the round barrier); the loop exits only when the decision is
+            # unanimous, which every host observes in the same round. No
+            # external KV state — nothing to race on or leak across server
+            # lifecycles (a previous design used coordination-KV keys, which
+            # could desynchronize a host mid-dispatch and left stale keys
+            # behind for same-named servers).
+            flags = multihost_utils.process_allgather(
+                np.asarray([1 if self._stop_requested else 0], np.int32)
+            )
+            if int(np.sum(flags)) >= jax.process_count():
+                break
             batch = self._collect(block=False)
             n = len(batch)
             xs = [r.x for r in batch]
@@ -243,6 +235,15 @@ class InferenceServer:
         while len(batch) < self.max_batch:
             remaining = deadline - time.perf_counter()
             if remaining <= 0:
+                # Deadline passed (e.g. a long compute round backed up the
+                # queue): still drain everything already available so a
+                # sustained-load round batches max_batch requests instead of
+                # collapsing to 1 request/round with an unbounded queue.
+                try:
+                    while len(batch) < self.max_batch:
+                        batch.append(self._queue.get_nowait())
+                except queue.Empty:
+                    pass
                 break
             try:
                 batch.append(self._queue.get(timeout=remaining))

@@ -170,7 +170,11 @@ def eq_adjust_weights(
         if b_idx is not None and len(fn.inputs) > b_idx:
             b = fp32_graph.tensors[fn.inputs[b_idx]].data.astype(np.float32)
 
-        base = np.max(np.abs(w.reshape(out_c, -1)), axis=1) / 127.0
+        amax = np.max(np.abs(w.reshape(out_c, -1)), axis=1)
+        # zero-scale guard, same floor as weight_quant_int8_perchannel: an
+        # all-zero (pruned/dead) output channel must not yield scale 0 and a
+        # 0/0 -> NaN -> int8 cast downstream
+        base = np.where(amax > 0, amax / 127.0, 1e-4).astype(np.float32)
         x = jnp.asarray(x_np)
         ref_out = np.asarray(_layer_out(x, jnp.asarray(w), b, n))
         best_cos = np.full(out_c, -1.0)

@@ -56,7 +56,16 @@ def quantize_graph(
         raise ValueError(f"unknown scheme {scheme!r}")
     if algorithm not in ("minmax", "kl", "aciq", "eq"):
         raise ValueError(f"unknown algorithm {algorithm!r}")
+    if algorithm == "eq" and scheme != "int8":
+        # EQ searches per-channel weight scales, which only the int8 scheme
+        # carries (quant_tool splits the same way); silently falling back to
+        # minmax would misreport what ran
+        raise ValueError("algorithm='eq' requires scheme='int8'")
     act_dtype = DType.UINT8 if scheme == "uint8" else DType.INT8
+
+    # materialize once: calibration_inputs may be a generator, and EQ below
+    # iterates it a second time after collect_activation_ranges consumed it
+    calibration_inputs = list(calibration_inputs)
 
     stats = collect_activation_ranges(
         graph, calibration_inputs, options, with_histograms=(algorithm == "kl")

@@ -118,6 +118,15 @@ class Options:
     # keeps both spatial dims in untiled axes.
     fuse_dwpw: bool = False
 
+    # Fuse runs of int8-symmetric bottleneck residual blocks
+    # (conv1x1 -> conv3x3 -> conv1x1 + residual [+relu], the resnet family)
+    # into whole-chain Pallas kernels with every intermediate resident in
+    # VMEM (ops/pallas/qblock.py). The round-2 traces showed these blocks
+    # ~70% HBM-BW-bound on the XLA bf16-storage path; the chain kernel
+    # streams 1-byte activations only at chain boundaries. Bit-faithful to
+    # the unfused chain (tests/test_resblock_fusion.py).
+    fuse_resblock: bool = True
+
     @classmethod
     def from_env(cls, **overrides) -> "Options":
         """Env-var tier, mirroring TG_DEBUG_* (cpu_define.h:40-44)."""

@@ -279,3 +279,77 @@ def test_eq_search_quantization(rng):
     assert checked >= 3
     c_eq, c_mm = cos(q_eq), cos(q_mm)
     assert c_eq > 0.98 and c_eq >= c_mm - 0.005, (c_eq, c_mm)
+
+
+def test_eq_beats_minmax_on_outlier_channels(rng):
+    """Constructed case where the zoom search MUST win (VERDICT r2 item 8):
+    each output channel holds one large outlier weight among a small-valued
+    bulk — and the outlier sits on a near-dead input channel (the BN-folded
+    dead-channel pattern), so its true output contribution is negligible.
+    Per-channel minmax sets scale = outlier/127, crushing the bulk to ~0 LSB;
+    EQ's zoom < 1 clips the irrelevant outlier and represents the bulk.
+    quant_eq.cpp:1050-1140 exists for exactly this distribution — the search
+    sees the real calibration activations, minmax only sees |w|."""
+    g, w, b = make_conv_graph(in_shape=(2, 16, 8, 8), out_c=8, k=3, rng=rng)
+    wt = g.tensors[g.nodes[-1].inputs[1]]
+    w2 = rng.standard_normal(wt.data.shape).astype(np.float32) * 0.02
+    w2[:, 0, 0, 0] = 10.0  # one outlier per output channel, on input chan 0
+    wt.data = w2
+    calib = []
+    for _ in range(2):
+        c = rng.standard_normal((2, 16, 8, 8)).astype(np.float32)
+        c[:, 0] *= 1e-3  # input channel 0 nearly dead
+        calib.append(c)
+
+    q_mm = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+    q_eq = quantize_graph(g, calib, scheme="int8", algorithm="eq")
+
+    s_mm = np.asarray(q_mm.tensors[q_mm.nodes[-1].inputs[1]].quant.scales)
+    s_eq = np.asarray(q_eq.tensors[q_eq.nodes[-1].inputs[1]].quant.scales)
+    assert np.all(s_eq < s_mm * 0.5), "zoom search must shrink outlier scales"
+
+    fp32_out = compile_graph(g, Options()).run(calib[0])[0].reshape(-1)
+
+    def cosine(qg):
+        t_in = qg.tensors[qg.input_tensors[0]]
+        xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+        o = compile_graph(qg, Options(quant_mode="fast")).run(xq)[0]
+        o = qmath.dequantize_np(
+            np.asarray(o), qg.tensors[qg.nodes[qg.outputs[0]].outputs[0]].quant
+        ).reshape(-1)
+        a, bb = fp32_out.astype(np.float64), o.astype(np.float64)
+        return float(a @ bb / (np.linalg.norm(a) * np.linalg.norm(bb)))
+
+    c_mm, c_eq = cosine(q_mm), cosine(q_eq)
+    assert c_eq > c_mm + 0.02, (c_eq, c_mm)  # strict, decisive win
+
+
+def test_eq_zero_channel_guard(rng):
+    """An all-zero (pruned) output channel must not produce NaN scales
+    (ADVICE r2: eq.py dropped the base quantizer's zero-scale floor)."""
+    g, w, b = make_conv_graph(in_shape=(1, 4, 8, 8), out_c=4, k=1, rng=rng)
+    wt = g.tensors[g.nodes[-1].inputs[1]]
+    wd = wt.data.copy()
+    wd[2] = 0.0
+    wt.data = wd
+    calib = [rng.standard_normal((1, 4, 8, 8)).astype(np.float32)]
+    q_eq = quantize_graph(g, calib, scheme="int8", algorithm="eq")
+    s = np.asarray(q_eq.tensors[q_eq.nodes[-1].inputs[1]].quant.scales)
+    assert np.all(np.isfinite(s)) and np.all(s > 0)
+    assert np.all(np.isfinite(q_eq.tensors[q_eq.nodes[-1].inputs[1]].data.astype(np.float32)))
+
+
+def test_eq_rejects_uint8():
+    """algorithm='eq' silently no-oping under uint8 was ADVICE r2 item: it
+    must raise instead."""
+    with pytest.raises(ValueError):
+        quantize_graph(Graph(name="x"), [], scheme="uint8", algorithm="eq")
+
+
+def test_quantize_accepts_generator(rng):
+    """calibration_inputs as a one-shot generator: EQ iterates a second time
+    after calibration, so the quantizer must materialize it (ADVICE r2)."""
+    g, w, b = make_conv_graph(in_shape=(1, 4, 8, 8), out_c=4, k=1, rng=rng)
+    gen = (rng.standard_normal((1, 4, 8, 8)).astype(np.float32) for _ in range(2))
+    qg = quantize_graph(g, gen, scheme="int8", algorithm="eq")
+    assert qg is not None

@@ -1,0 +1,145 @@
+"""fuse_resnet_blocks pass + FusedResBlockChain lowering, end to end.
+
+Builds small float bottleneck-chain graphs through the IR, quantizes them
+with the real PTQ pipeline (int8 per-channel), and checks the fused Pallas
+chain (Options.fuse_resblock) against the unfused quantized engine output —
+the same oracle relationship the reference establishes between its asm tier
+and TG_DEBUG_REF kernels (cpu_module.c:157-166).
+"""
+
+import numpy as np
+import pytest
+
+from tengine_tpu.executor.engine import compile_graph
+from tengine_tpu.graph.ir import DType, Graph, TensorType
+from tengine_tpu.graph.passes import fuse_resnet_blocks
+from tengine_tpu.quantize.quantizer import quantize_graph
+from tengine_tpu.utils.config import Options
+
+
+def conv_params(k, stride=1, pad=0, act=-1, c_in=0, c_out=0):
+    return dict(
+        kernel_h=k, kernel_w=k, stride_h=stride, stride_w=stride,
+        dilation_h=1, dilation_w=1, input_channel=c_in, output_channel=c_out,
+        group=1, activation=act,
+        pad_h0=pad, pad_w0=pad, pad_h1=pad, pad_w1=pad,
+    )
+
+
+def add_conv(g, rng, name, x_t, c_out, k, stride=1, pad=0, act=-1):
+    c_in = int(x_t.shape[1]) if x_t.shape else 0
+    w = rng.standard_normal((c_out, c_in, k, k)).astype(np.float32) * 0.3
+    b = rng.standard_normal((c_out,)).astype(np.float32) * 0.1
+    wt = g.add_tensor(f"{name}.w", DType.FP32, w.shape, TensorType.CONST, data=w)
+    bt = g.add_tensor(f"{name}.b", DType.FP32, b.shape, TensorType.CONST, data=b)
+    h = x_t.shape[2] // stride if x_t.shape else 0
+    wd = x_t.shape[3] // stride if x_t.shape else 0
+    y = g.add_tensor(f"{name}.out", DType.FP32, [x_t.shape[0], c_out, h, wd],
+                     TensorType.VAR)
+    g.add_node("Convolution", name, [x_t.idx, wt.idx, bt.idx], [y.idx],
+               conv_params(k, stride, pad, act, c_in, c_out))
+    return y
+
+
+def add_block(g, rng, name, x_t, c_mid, c_out, stride=1, proj=False,
+              trailing_relu=True):
+    """conv1x1(relu) -> conv3x3 s1 p1 (relu) -> conv1x1 -> add -> [relu]"""
+    from tengine_tpu.serializer.tm2 import format as tmfmt
+
+    m1 = add_conv(g, rng, f"{name}.c1", x_t, c_mid, 1, stride=stride, act=0)
+    m2 = add_conv(g, rng, f"{name}.c2", m1, c_mid, 3, pad=1, act=0)
+    m3 = add_conv(g, rng, f"{name}.c3", m2, c_out, 1)
+    if proj:
+        r = add_conv(g, rng, f"{name}.c4", x_t, c_out, 1, stride=stride)
+    else:
+        r = x_t
+    s = g.add_tensor(f"{name}.sum", DType.FP32, list(m3.shape), TensorType.VAR)
+    g.add_node("Eltwise", f"{name}.add", [m3.idx, r.idx], [s.idx],
+               dict(type=tmfmt.ELT_SUM))
+    if not trailing_relu:
+        return s
+    o = g.add_tensor(f"{name}.relu", DType.FP32, list(m3.shape), TensorType.VAR)
+    g.add_node("ReLu", f"{name}.r", [s.idx], [o.idx], dict(negative_slope=0.0))
+    return o
+
+
+def build_chain_graph(rng, n=2, c0=8, c_mid=8, c_out=16, hw=8, nblocks=2,
+                      first_stride=1, trailing_relu=True):
+    g = Graph(name="resblocks")
+    x = g.add_tensor("data", DType.FP32, [n, c0, hw, hw], TensorType.INPUT)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    t = x
+    for i in range(nblocks):
+        proj = i == 0 and (c0 != c_out or first_stride == 2)
+        t = add_block(g, rng, f"b{i}", t, c_mid, c_out,
+                      stride=first_stride if i == 0 else 1, proj=proj,
+                      trailing_relu=trailing_relu)
+    g.inputs = [inp.idx]
+    g.outputs = [g.tensors[t.idx].producer]
+    return g
+
+
+def quantized_pair(rng, **kw):
+    g = build_chain_graph(rng, **kw)
+    n, c0 = g.tensors[g.input_tensors[0]].shape[:2]
+    hw = g.tensors[g.input_tensors[0]].shape[2]
+    calib = [rng.standard_normal((n, c0, hw, hw)).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="int8", algorithm="minmax")
+    from tengine_tpu.ops import qmath
+
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+    return qg, xq
+
+
+def fused_vs_unfused(rng, **kw):
+    qg, xq = quantized_pair(rng, **kw)
+    qg2 = qg.clone()
+    nfused = fuse_resnet_blocks(qg2)
+    assert nfused == kw.get("nblocks", 2), f"fused {nfused} blocks"
+
+    cg_f = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=True))
+    cg_u = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=False))
+    yf = cg_f.run(xq)
+    yu = cg_u.run(xq)
+    assert len(yf) == len(yu)
+    for a, b in zip(yf, yu):
+        d = np.abs(a.astype(np.int32) - b.astype(np.int32))
+        assert d.max() <= 1, f"max diff {d.max()}"
+        assert (d > 0).mean() < 0.02
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(3)
+
+
+def test_identity_chain(rng):
+    fused_vs_unfused(rng, n=2, c0=16, c_mid=8, c_out=16, hw=8, nblocks=2)
+
+
+def test_proj_head_chain(rng):
+    fused_vs_unfused(rng, n=2, c0=8, c_mid=8, c_out=16, hw=8, nblocks=3)
+
+
+def test_downsample_head(rng):
+    # Caffe-resnet style: stride-2 in conv1 + projection, 3x3 stays s1
+    fused_vs_unfused(rng, n=2, c0=8, c_mid=8, c_out=16, hw=8, nblocks=2,
+                     first_stride=2)
+
+
+def test_no_trailing_relu(rng):
+    fused_vs_unfused(rng, n=2, c0=16, c_mid=8, c_out=16, hw=8, nblocks=1,
+                     trailing_relu=False)
+
+
+def test_odd_batch_padding(rng):
+    # batch not divisible by the interleave requirement: lowering pads
+    fused_vs_unfused(rng, n=3, c0=16, c_mid=8, c_out=16, hw=8, nblocks=2)
+
+
+def test_pass_does_not_match_uint8(rng):
+    g = build_chain_graph(rng, n=1, c0=16, c_mid=8, c_out=16, hw=8, nblocks=1)
+    calib = [rng.standard_normal((1, 16, 8, 8)).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+    assert fuse_resnet_blocks(qg) == 0

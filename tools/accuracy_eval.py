@@ -97,13 +97,48 @@ def build_models():
                 nn.Linear(64, 10),
             )
 
-    return {"digit_cnn": DigitCNN(), "digit_dwnet": DigitDWNet()}
+    class Bottleneck(nn.Module):
+        """resnet bottleneck: 1x1 -> 3x3 -> 1x1 + residual, trailing relu —
+        exercises the fuse_conv_add epilogue / fuse_resnet_blocks chain
+        kernel on trained weights (VERDICT r2 item 5)."""
+
+        def __init__(self, c, mid):
+            super().__init__()
+            self.path = nn.Sequential(
+                nn.Conv2d(c, mid, 1), nn.BatchNorm2d(mid), nn.ReLU(),
+                nn.Conv2d(mid, mid, 3, padding=1), nn.BatchNorm2d(mid), nn.ReLU(),
+                nn.Conv2d(mid, c, 1), nn.BatchNorm2d(c),
+            )
+            self.relu = nn.ReLU()
+
+        def forward(self, x):
+            return self.relu(x + self.path(x))
+
+    class DigitResNet(nn.Sequential):
+        def __init__(self):
+            super().__init__(
+                nn.Conv2d(1, 32, 3, padding=1), nn.BatchNorm2d(32), nn.ReLU(),
+                nn.MaxPool2d(2),
+                Bottleneck(32, 16),
+                Bottleneck(32, 16),
+                nn.MaxPool2d(2),
+                Bottleneck(32, 16),
+                nn.AvgPool2d(8),
+                nn.Flatten(),
+                nn.Linear(32, 10),
+            )
+
+    return {
+        "digit_cnn": DigitCNN(),
+        "digit_dwnet": DigitDWNet(),
+        "digit_resnet": DigitResNet(),
+    }
 
 
-def train(model, xtr, ytr, xte, yte, epochs):
+def train(model, xtr, ytr, xte, yte, epochs, seed=SEED):
     import torch
 
-    torch.manual_seed(SEED)
+    torch.manual_seed(seed)
     opt = torch.optim.Adam(model.parameters(), lr=2e-3)
     lossf = torch.nn.CrossEntropyLoss()
     xt = torch.from_numpy(xtr)
@@ -215,6 +250,8 @@ def main():
     ap.add_argument("--reference", action="store_true",
                     help="also score the quantized tmfile in the C engine")
     ap.add_argument("--models", nargs="*", default=None)
+    ap.add_argument("--seeds", type=int, default=1,
+                    help="training/calibration seeds; >1 publishes mean±σ")
     ap.add_argument(
         "--tpu", action="store_true",
         help="evaluate on the TPU (default: CPU — the numbers are "
@@ -234,35 +271,49 @@ def main():
     from tengine_tpu.quantize.quantizer import quantize_graph
 
     xtr, ytr, xte, yte = load_digits_32()
-    rng = np.random.default_rng(SEED)
-    calib_idx = rng.choice(len(xtr), args.calib, replace=False)
-    calib = [xtr[i : i + 1] for i in calib_idx]
 
     results = {}
-    for name, model in build_models().items():
+    for name in build_models():
         if args.models and name not in args.models:
             continue
-        torch_acc = train(model, xtr, ytr, xte, yte, args.epochs)
-        g = from_torch(model, torch.zeros(1, 1, 32, 32))
-        fp32 = top1_ours(g, xte, yte, quantized=False)
-        row = {
+        rows = []
+        for seed in range(args.seeds):
+            model = build_models()[name]
+            rng = np.random.default_rng(seed)
+            calib_idx = rng.choice(len(xtr), args.calib, replace=False)
+            calib = [xtr[i : i + 1] for i in calib_idx]
+            torch_acc = train(model, xtr, ytr, xte, yte, args.epochs, seed=seed)
+            g = from_torch(model, torch.zeros(1, 1, 32, 32))
+            fp32 = top1_ours(g, xte, yte, quantized=False)
+            row = {"torch_fp32_top1": torch_acc, "ours_fp32_top1": fp32}
+            for scheme, algo in (
+                ("uint8", "minmax"), ("int8", "kl"), ("int8", "eq"),
+            ):
+                qg = quantize_graph(g, calib, scheme=scheme, algorithm=algo)
+                q1 = top1_ours(qg, xte, yte, quantized=True)
+                key = f"{scheme}_{algo}"
+                row[f"{key}_top1"] = q1
+                row[f"{key}_delta_vs_fp32"] = q1 - fp32
+                if args.reference:
+                    with tempfile.TemporaryDirectory() as td:
+                        r1 = top1_reference(qg, xte, yte, td)
+                    if r1 is not None:
+                        row[f"{key}_reference_engine_top1"] = r1
+            rows.append(row)
+            print(f"{name} seed {seed}:", json.dumps(
+                {k: round(v, 4) for k, v in row.items()}))
+        # aggregate over seeds: mean ± σ per metric
+        agg = {
             "dataset": "sklearn_digits (1437 train / 360 test, 10 classes)",
-            "torch_fp32_top1": round(torch_acc, 4),
-            "ours_fp32_top1": round(fp32, 4),
+            "n_seeds": len(rows),
         }
-        for scheme, algo in (("uint8", "minmax"), ("int8", "kl")):
-            qg = quantize_graph(g, calib, scheme=scheme, algorithm=algo)
-            q1 = top1_ours(qg, xte, yte, quantized=True)
-            key = f"{scheme}_{algo}"
-            row[f"{key}_top1"] = round(q1, 4)
-            row[f"{key}_delta_vs_fp32"] = round(q1 - fp32, 4)
-            if args.reference:
-                with tempfile.TemporaryDirectory() as td:
-                    r1 = top1_reference(qg, xte, yte, td)
-                if r1 is not None:
-                    row[f"{key}_reference_engine_top1"] = round(r1, 4)
-        results[name] = row
-        print(name, json.dumps(row, indent=2))
+        for k in rows[0]:
+            vals = [r[k] for r in rows if k in r]
+            agg[k + "_mean"] = round(float(np.mean(vals)), 4)
+            if len(vals) > 1:
+                agg[k + "_std"] = round(float(np.std(vals, ddof=1)), 4)
+        results[name] = agg
+        print(name, json.dumps(agg, indent=2))
 
     if args.publish:
         repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -275,9 +326,15 @@ def main():
                 "on disk, so models are trained from scratch on the one real "
                 "vision dataset available offline (sklearn digits). "
                 "Reproduce: python tools/accuracy_eval.py --publish "
-                f"--epochs {args.epochs} (seed {SEED})"
+                f"--epochs {args.epochs} --seeds {args.seeds}"
+                + (" --reference" if args.reference else "")
             ),
-            "metric": "top-1 on held-out test split; delta = quantized - fp32",
+            "metric": (
+                "top-1 on held-out test split; delta = quantized - fp32; "
+                "mean±std over training/calibration seeds; "
+                "*_reference_engine_top1 = same tmfile scored by the "
+                "reference C engine"
+            ),
             "models": results,
         }
         with open(path, "w") as f:
