@@ -274,3 +274,43 @@ def tm2_scan_buffers(data: bytes) -> Optional[np.ndarray]:
     if n < 0:
         raise ValueError("native tm2 scan: malformed tmfile")
     return table[:n]
+
+
+_CAPI_LIB: Optional[str] = None
+
+
+def build_capi() -> Optional[str]:
+    """Build libtengine_tpu_capi.so — the C ABI embedding surface
+    (c_api_shim.c, drop-in subset of the reference's c_api.h). Returns the
+    library path, or None when no toolchain/libpython is available."""
+    global _CAPI_LIB
+    if _CAPI_LIB is not None:
+        return _CAPI_LIB
+    import sysconfig
+
+    src = os.path.join(os.path.dirname(__file__), "c_api_shim.c")
+    try:
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        cache = os.environ.get(
+            "TT_CACHE_DIR", os.path.expanduser("~/.cache/tengine_tpu")
+        )
+        os.makedirs(cache, exist_ok=True)
+        lib_path = os.path.join(cache, f"libtengine_tpu_capi-{digest}.so")
+        if not os.path.exists(lib_path):
+            inc = sysconfig.get_paths()["include"]
+            libdir = sysconfig.get_config_var("LIBDIR") or "/usr/local/lib"
+            pyver = f"python{sysconfig.get_config_var('py_version_short')}"
+            tmp = lib_path + ".tmp"
+            subprocess.run(
+                ["gcc", "-O2", "-fPIC", "-shared", src, f"-I{inc}",
+                 f"-L{libdir}", f"-Wl,-rpath,{libdir}", f"-l{pyver}",
+                 "-o", tmp],
+                check=True, capture_output=True,
+            )
+            os.replace(tmp, lib_path)
+        _CAPI_LIB = lib_path
+        return lib_path
+    except Exception as e:  # pragma: no cover
+        logger.warning("C ABI shim build failed: %s", e)
+        return None

@@ -1,0 +1,286 @@
+/* C ABI for the tengine-tpu engine — drop-in subset of the reference's
+ * public embedding surface (/root/reference/source/api/c_api.h).
+ *
+ * The engine itself is Python/JAX (the compute path is XLA/Pallas); this
+ * library embeds CPython (or attaches to an already-running interpreter
+ * when loaded inside a Python process) and forwards every call to
+ * tengine_tpu.capi_bridge, which owns all object management. The C layer is
+ * a pure marshaller, so the ABI stays tiny and stable.
+ *
+ * Covered functions (names, signatures and semantics match c_api.h):
+ *   init_tengine / release_tengine / get_tengine_version        (c_api.h:318+)
+ *   create_graph / destroy_graph                                (c_api.h:363)
+ *   prerun_graph / prerun_graph_multithread / run_graph /
+ *     postrun_graph                                             (c_api.h:1006-1046)
+ *   get_graph_input_node_number / get_graph_output_node_number
+ *   get_graph_input_tensor / get_graph_output_tensor /
+ *     get_graph_tensor                                          (c_api.h:689-786)
+ *   get_tensor_shape / set_tensor_shape                         (c_api.h:793-817)
+ *   get_tensor_buffer_size / get_tensor_buffer /
+ *     set_tensor_buffer                                         (c_api.h:828-851)
+ *   get_tensor_data_type / set_log_level / dump_graph
+ *
+ * Build: gcc -shared -fPIC c_api_shim.c -lpython3.x (native/__init__.py
+ * :build_capi does this on demand). Embedders link the result exactly like
+ * libtengine-lite.so.
+ */
+
+#include <Python.h>
+
+#include <stdarg.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <string.h>
+
+typedef void* context_t;
+typedef void* graph_t;
+typedef void* tensor_t;
+typedef void* node_t;
+
+struct options {
+    int num_thread;
+    int cluster;
+    int precision;
+    uint64_t affinity;
+};
+
+static PyObject* g_bridge = NULL;
+static int g_we_initialized = 0;
+
+/* tensor handle = (graph_handle << 20) | (tensor_idx + 1), packed in the
+ * pointer value; graph handle = small int from the bridge */
+#define T_HANDLE(g, t) ((void*)((((uintptr_t)(g)) << 20) | ((uintptr_t)(t) + 1)))
+#define T_GRAPH(h) ((long)(((uintptr_t)(h)) >> 20))
+#define T_IDX(h) ((long)((((uintptr_t)(h)) & 0xFFFFF) - 1))
+
+static PyObject* bridge_call(const char* fn, const char* fmt, ...)
+{
+    if (!g_bridge)
+        return NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    va_list ap;
+    va_start(ap, fmt);
+    PyObject* args = fmt && *fmt ? Py_VaBuildValue(fmt, ap) : PyTuple_New(0);
+    va_end(ap);
+    PyObject* ret = NULL;
+    if (args) {
+        if (!PyTuple_Check(args)) {
+            PyObject* t = PyTuple_Pack(1, args);
+            Py_DECREF(args);
+            args = t;
+        }
+        PyObject* f = PyObject_GetAttrString(g_bridge, fn);
+        if (f) {
+            ret = PyObject_CallObject(f, args);
+            Py_DECREF(f);
+        }
+        Py_DECREF(args);
+    }
+    if (!ret && PyErr_Occurred()) {
+        PyErr_Print();
+        PyErr_Clear();
+    }
+    PyGILState_Release(st);
+    return ret; /* caller must hold GIL to DECREF — use ret_long/ret helpers */
+}
+
+static long ret_long(PyObject* r, long on_err)
+{
+    if (!r)
+        return on_err;
+    PyGILState_STATE st = PyGILState_Ensure();
+    long v = PyLong_Check(r) ? PyLong_AsLong(r) : on_err;
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return v;
+}
+
+int init_tengine(void)
+{
+    if (g_bridge)
+        return 0;
+    if (!Py_IsInitialized()) {
+        Py_InitializeEx(0);
+        g_we_initialized = 1;
+        /* release the GIL acquired by Py_Initialize so PyGILState works */
+        PyEval_SaveThread();
+    }
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* mod = PyImport_ImportModule("tengine_tpu.capi_bridge");
+    if (!mod) {
+        PyErr_Print();
+        PyGILState_Release(st);
+        return -1;
+    }
+    g_bridge = mod;
+    PyGILState_Release(st);
+    return 0;
+}
+
+void release_tengine(void)
+{
+    if (!g_bridge)
+        return;
+    PyGILState_STATE st = PyGILState_Ensure();
+    Py_CLEAR(g_bridge);
+    PyGILState_Release(st);
+    /* when we own the interpreter, leave it up: releasing and re-initializing
+     * CPython in-process is unsupported by many extension modules (numpy) */
+}
+
+const char* get_tengine_version(void)
+{
+    static char buf[64] = "1.0-tpu";
+    PyObject* r = bridge_call("version", "");
+    if (r) {
+        PyGILState_STATE st = PyGILState_Ensure();
+        const char* s = PyUnicode_Check(r) ? PyUnicode_AsUTF8(r) : NULL;
+        if (s)
+            snprintf(buf, sizeof(buf), "%s", s);
+        Py_DECREF(r);
+        PyGILState_Release(st);
+    }
+    return buf;
+}
+
+graph_t create_graph(context_t context, const char* model_format, const char* file_name, ...)
+{
+    (void)context;
+    long h = ret_long(bridge_call("create_graph", "(ss)", model_format, file_name), 0);
+    return (graph_t)(uintptr_t)h;
+}
+
+int destroy_graph(graph_t graph)
+{
+    return (int)ret_long(bridge_call("destroy_graph", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+int prerun_graph(graph_t graph)
+{
+    return (int)ret_long(bridge_call("prerun_graph", "(lii)", (long)(uintptr_t)graph, 0, -1), -1);
+}
+
+int prerun_graph_multithread(graph_t graph, struct options opt)
+{
+    return (int)ret_long(
+        bridge_call("prerun_graph", "(lii)", (long)(uintptr_t)graph,
+                    opt.num_thread, opt.precision),
+        -1);
+}
+
+int run_graph(graph_t graph, int block)
+{
+    return (int)ret_long(bridge_call("run_graph", "(li)", (long)(uintptr_t)graph, block), -1);
+}
+
+int postrun_graph(graph_t graph)
+{
+    return (int)ret_long(bridge_call("postrun_graph", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+int get_graph_input_node_number(graph_t graph)
+{
+    return (int)ret_long(bridge_call("input_count", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+int get_graph_output_node_number(graph_t graph)
+{
+    return (int)ret_long(bridge_call("output_count", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+tensor_t get_graph_input_tensor(graph_t graph, int node_idx, int tensor_idx)
+{
+    long t = ret_long(
+        bridge_call("input_tensor_idx", "(lii)", (long)(uintptr_t)graph, node_idx, tensor_idx),
+        -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)graph, t);
+}
+
+tensor_t get_graph_output_tensor(graph_t graph, int node_idx, int tensor_idx)
+{
+    long t = ret_long(
+        bridge_call("output_tensor_idx", "(lii)", (long)(uintptr_t)graph, node_idx, tensor_idx),
+        -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)graph, t);
+}
+
+tensor_t get_graph_tensor(graph_t graph, const char* tensor_name)
+{
+    long t = ret_long(
+        bridge_call("tensor_idx_by_name", "(ls)", (long)(uintptr_t)graph, tensor_name), -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)graph, t);
+}
+
+int get_tensor_shape(tensor_t tensor, int dims[], int dim_number)
+{
+    PyObject* r = bridge_call("tensor_shape", "(ll)", T_GRAPH(tensor), T_IDX(tensor));
+    if (!r)
+        return -1;
+    PyGILState_STATE st = PyGILState_Ensure();
+    int n = -1;
+    if (PyList_Check(r)) {
+        n = (int)PyList_Size(r);
+        for (int i = 0; i < n && i < dim_number; i++)
+            dims[i] = (int)PyLong_AsLong(PyList_GetItem(r, i));
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return n;
+}
+
+int set_tensor_shape(tensor_t tensor, const int dims[], int dim_number)
+{
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* lst = PyList_New(dim_number);
+    for (int i = 0; i < dim_number; i++)
+        PyList_SetItem(lst, i, PyLong_FromLong(dims[i]));
+    PyGILState_Release(st);
+    PyObject* r = bridge_call("set_tensor_shape", "(llO)", T_GRAPH(tensor), T_IDX(tensor), lst);
+    st = PyGILState_Ensure();
+    Py_DECREF(lst);
+    PyGILState_Release(st);
+    return (int)ret_long(r, -1);
+}
+
+int get_tensor_buffer_size(tensor_t tensor)
+{
+    return (int)ret_long(
+        bridge_call("tensor_buffer_size", "(ll)", T_GRAPH(tensor), T_IDX(tensor)), -1);
+}
+
+void* get_tensor_buffer(tensor_t tensor)
+{
+    long addr = ret_long(
+        bridge_call("get_tensor_buffer", "(ll)", T_GRAPH(tensor), T_IDX(tensor)), 0);
+    return (void*)(uintptr_t)addr;
+}
+
+int set_tensor_buffer(tensor_t tensor, void* buffer, int buffer_size)
+{
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* mv = PyMemoryView_FromMemory((char*)buffer, buffer_size, PyBUF_READ);
+    PyGILState_Release(st);
+    if (!mv)
+        return -1;
+    PyObject* r = bridge_call("set_tensor_buffer", "(llO)", T_GRAPH(tensor), T_IDX(tensor), mv);
+    st = PyGILState_Ensure();
+    Py_DECREF(mv);
+    PyGILState_Release(st);
+    return (int)ret_long(r, -1);
+}
+
+int get_tensor_data_type(tensor_t tensor)
+{
+    return (int)ret_long(
+        bridge_call("tensor_dtype", "(ll)", T_GRAPH(tensor), T_IDX(tensor)), -1);
+}
+
+int set_log_level(int level)
+{
+    return (int)ret_long(bridge_call("set_log_level", "(i)", level), -1);
+}
+
+int dump_graph(graph_t graph)
+{
+    return (int)ret_long(bridge_call("dump_graph", "(l)", (long)(uintptr_t)graph), -1);
+}

@@ -14,8 +14,8 @@ Reference analog: the optimized conv kernel tier
 block-chain granularity, which is the TPU-native fusion boundary (HBM traffic,
 not register reuse, is the scarce resource).
 
-Layout — the key to zero Mosaic relayouts
------------------------------------------
+Layout — making the 3x3 taps cheap
+----------------------------------
 Activations use a *padded flat* layout [M, C] with C in lanes:
 
     M = H * g * SEG   rows;  flat row index = h*(g*SEG) + j*SEG + w
@@ -26,31 +26,29 @@ the row stride WROW = g*SEG is a multiple of the int8 sublane tile (32).
 Consequences:
 
   * a 3x3 tap (dy, dx) is a pure flat shift by (dy-1)*WROW + (dx-1);
-  * the three dy variants of a given dx are *aligned* row-interval slices
-    (offset dy*WROW, WROW % 32 == 0) of one buffer — no vector relayout;
-  * only the dx = 0 and dx = 2 column shifts need materialization, done as
-    two small VMEM->VMEM async DMAs (the DMA engine does byte-granular
-    shifts; Mosaic's vector shifts would pay a tile relayout per tap, the
-    exact cost that sank the round-2 qconv int-storage path);
+  * the three dy variants of a given dx are *aligned* slices (offset
+    dy*WROW, WROW % 32 == 0) of one (TOT = M+2*WROW)-row array — free;
+  * only the dx = 0 / dx = 2 variants need a +-1 row shift, done as TWO
+    `pltpu.roll`s per block on the conv1 output (vs. a Mosaic relayout per
+    tap slice, the cost that sank the round-2 qconv int-storage path; a
+    VMEM->VMEM DMA cannot do it at all — Mosaic requires DMA slices aligned
+    to the sublane tiling). The conv1 output sits in a buffer whose first
+    and last WROW rows are permanently zero, so the roll's wrap-around rows
+    are exactly the conv's zero padding;
   * padding cols (>= W within each segment) are forced to zero by a column
     mask in every requant epilogue, so tap reads across segment/row
     boundaries see exact conv zero-padding (int8 symmetric: pad value 0).
 
-Per block (all compute per grid step, two image-packs interleaved so the tap
-DMAs overlap the neighbor pack's MXU work):
-
-    conv1 1x1 : acc = x @ w1 (int8 MXU, int32) ; q1 = requant+relu+mask
-                -> stored into the center tap buffer at row offset WROW
-    tap DMAs  : mids0 <- q1 shifted -1 row, mids2 <- q1 shifted +1 row
-    conv2 3x3 : acc = sum_{dy,dx} mids_dx[dy*WROW : dy*WROW+M] @ w2[dy,dx]
-    conv3 1x1 : t = requant(acc3) ; y = round((t*s_mid + r*s_r)/s_out) ;
-                relu ; clip — the residual r is the chain buffer already in
-                VMEM (identity) or a fused projection conv4(x) (block0)
+Per grid step one image-pack runs the whole chain as straight-line SSA
+values (conv outputs feed the next conv / the residual add directly; Mosaic
+spills to VMEM as needed). The only stateful buffers are the double-buffered
+input DMA landing slot and the zero-bordered conv1 staging buffer.
 
 Numerics are bit-identical to the engine's unfused quantized chain
 (ops/quantized.py::_requant_conv_out): round-half-away-from-zero, per-channel
-multipliers, dequant-add-requant residual (tests/test_qblock_pallas.py).
-int8 symmetric (zp = 0) only — the resnet-family tmfile int8 scheme.
+multipliers, dequant-add-requant residual, separate-node trailing-ReLu
+requant (tests/test_qblock_pallas.py). int8 symmetric (zp = 0) only — the
+resnet-family tmfile int8 scheme.
 """
 
 from __future__ import annotations
@@ -124,6 +122,21 @@ def _dot(a, w):
     )
 
 
+def _i8(v):
+    return v.astype(jnp.int32).astype(jnp.int8)
+
+
+def _roll_rows(v, shift):
+    """Row roll of a 32-bit array (Mosaic's rotate only supports 32-bit
+    data; the caller stages int8 values as int32). pltpu.roll wants a
+    non-negative shift."""
+    if jax.default_backend() == "cpu":
+        return jnp.roll(v, shift, axis=0)
+    if shift < 0:
+        shift += v.shape[0]
+    return pltpu.roll(v, shift, 0)
+
+
 def _qblock_kernel(
     x_hbm,       # [P, M, C0] int8 (packed flat layout)
     *refs,       # per-block weight/mult/bias refs, o_ref, scratch, sems
@@ -132,25 +145,20 @@ def _qblock_kernel(
 ):
     bargs = refs[:nargs]
     o_ref = refs[nargs]
-    xin, mids0, mids1, mids2, chA, chB, sem_in, sem_tap = refs[nargs + 1:]
+    xin, mids1, sem_in = refs[nargs + 1:]
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     slot = jax.lax.rem(s, 2)
-    TOT = M + 2 * WROW
 
     def in_dma(sl, step):
-        return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(step * 2, 2)], xin.at[sl], sem_in.at[sl]
-        )
+        return pltpu.make_async_copy(x_hbm.at[step], xin.at[sl], sem_in.at[sl])
 
     @pl.when(s == 0)
     def _():
-        # zero the tap-buffer borders once: conv1 rewrites [WROW, WROW+M) of
-        # mids1 and the shift DMAs rewrite all but one edge row of mids0/2
-        # every step, so the untouched border rows stay zero for the whole
-        # launch (they are the conv's top/bottom zero padding).
-        for mm in (mids0, mids1, mids2):
-            mm[...] = jnp.zeros_like(mm)
+        # zero once: conv1 rewrites rows [WROW, WROW+M) every block, the
+        # border rows stay zero for the whole launch — they are the conv's
+        # top/bottom zero padding AND the rows the rolls wrap around
+        mids1[...] = jnp.zeros_like(mids1)
         in_dma(0, 0).start()
 
     @pl.when(s + 1 < n_s)
@@ -174,81 +182,63 @@ def _qblock_kernel(
         off += n
 
     nb = len(blocks)
+    cur = xin[slot]  # [M, C0] int8 value
     for b, (blk, ba) in enumerate(zip(blocks, packs)):
         if blk.proj:
             w1, m1, b1, w2, m2, b2, w3, m3, b3, proj_pack = ba
             w4, m4, b4 = proj_pack
         else:
             w1, m1, b1, w2, m2, b2, w3, m3, b3 = ba
-        last = b == nb - 1
 
-        def inref(j):
-            if b == 0:
-                return xin[slot, j]
-            return (chA if (b - 1) % 2 == 0 else chB)[j]
+        q1 = _requant(
+            _dot(cur, w1[...]), m1[0][None, :], b1[0][None, :],
+            blk.act1, blk.s1, colmask,
+        )
+        # stage as int32: Mosaic's rotate is 32-bit-only, and an int8 roll
+        # by +-1 sublane would be the per-tap relayout this design avoids
+        mids1[pl.ds(WROW, M)] = q1.astype(jnp.int32)
+        m1v = mids1[...]                       # [TOT, C1] i32, zero borders
+        taps = {
+            0: _roll_rows(m1v, 1).astype(jnp.int8),
+            1: m1v.astype(jnp.int8),
+            2: _roll_rows(m1v, -1).astype(jnp.int8),
+        }
 
-        rvals = [None, None]
-        for j in (0, 1):
-            xb = inref(j)
-            q1 = _requant(
-                _dot(xb, w1[...]), m1[0][None, :], b1[0][None, :],
-                blk.act1, blk.s1, colmask,
-            )
-            mids1[j, pl.ds(WROW, M)] = q1.astype(jnp.int32).astype(jnp.int8)
-            # column shifts via the DMA engine (byte-granular, no relayout)
-            pltpu.make_async_copy(
-                mids1.at[j, pl.ds(0, TOT - 1)],
-                mids0.at[j, pl.ds(1, TOT - 1)],
-                sem_tap.at[j, 0],
-            ).start()
-            pltpu.make_async_copy(
-                mids1.at[j, pl.ds(1, TOT - 1)],
-                mids2.at[j, pl.ds(0, TOT - 1)],
-                sem_tap.at[j, 1],
-            ).start()
-            if blk.proj:
-                rvals[j] = _requant(
-                    _dot(xb, w4[...]), m4[0][None, :], b4[0][None, :],
-                    -1, 1.0, colmask,
+        acc2 = None
+        for dy in range(3):
+            for dx in range(3):
+                d = _dot(
+                    jax.lax.slice_in_dim(taps[dx], dy * WROW, dy * WROW + M),
+                    w2[dy * 3 + dx],
                 )
-
-        for j in (0, 1):
-            pltpu.make_async_copy(
-                mids1.at[j, pl.ds(0, TOT - 1)],
-                mids0.at[j, pl.ds(1, TOT - 1)],
-                sem_tap.at[j, 0],
-            ).wait()
-            pltpu.make_async_copy(
-                mids1.at[j, pl.ds(1, TOT - 1)],
-                mids2.at[j, pl.ds(0, TOT - 1)],
-                sem_tap.at[j, 1],
-            ).wait()
-            acc2 = None
-            for dy in range(3):
-                for dx, mm in ((0, mids0), (1, mids1), (2, mids2)):
-                    d = _dot(mm[j, pl.ds(dy * WROW, M)], w2[dy * 3 + dx])
-                    acc2 = d if acc2 is None else acc2 + d
-            q2 = _requant(acc2, m2[0][None, :], b2[0][None, :],
-                          blk.act2, blk.s2, colmask)
-            t = _requant(
-                _dot(q2.astype(jnp.int32).astype(jnp.int8), w3[...]),
-                m3[0][None, :], b3[0][None, :], -1, 1.0, colmask,
+                acc2 = d if acc2 is None else acc2 + d
+        q2 = _requant(acc2, m2[0][None, :], b2[0][None, :],
+                      blk.act2, blk.s2, colmask)
+        t = _requant(
+            _dot(_i8(q2), w3[...]),
+            m3[0][None, :], b3[0][None, :], -1, 1.0, colmask,
+        )
+        # fused residual: dequant both quantized operands, add, requant —
+        # exactly the unfused Eltwise-SUM numerics (zp = 0 everywhere)
+        if blk.proj:
+            r = _requant(
+                _dot(cur, w4[...]), m4[0][None, :], b4[0][None, :],
+                -1, 1.0, colmask,
             )
-            # fused residual: dequant both quantized operands, add, requant —
-            # exactly the unfused Eltwise-SUM numerics (zp = 0 everywhere)
-            r = rvals[j] if blk.proj else inref(j).astype(jnp.float32)
-            y = _round_away((t * blk.s_mid + r * blk.s_r) / blk.s_out)
+        else:
+            r = cur.astype(jnp.float32)
+        y = _round_away((t * blk.s_mid + r * blk.s_r) / blk.s_out)
+        y = jnp.clip(y, -127.0, 127.0)
+        if blk.s_relu is not None:
+            # separate ReLu node semantics: requant(max(dequant(q), 0))
+            y = _round_away(jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu)
             y = jnp.clip(y, -127.0, 127.0)
-            if blk.s_relu is not None:
-                # separate ReLu node semantics: requant(max(dequant(q), 0))
-                y = _round_away(jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu)
-                y = jnp.clip(y, -127.0, 127.0)
-            y = jnp.where(colmask, y, 0.0)
-            yq = y.astype(jnp.int32).astype(jnp.int8)
-            if last:
-                o_ref[j] = yq
-            else:
-                (chA if b % 2 == 0 else chB)[j] = yq
+        y = jnp.where(colmask, y, 0.0)
+        yq = _i8(y)
+        if b == nb - 1:
+            o_ref[0] = yq
+        else:
+            cur = yq
 
 
 def build_block_args(blk: QBlock, w1, b1_q, w2, b2_q, w3, b3_q,
@@ -261,8 +251,6 @@ def build_block_args(blk: QBlock, w1, b1_q, w2, b2_q, w3, b3_q,
     engine's fold (ops/quantized.py): M = s_in*s_w/s_out, B = bias*M.
     Returns the flat list of arrays in kernel order.
     """
-    c1, c_in = w2.shape[1], w1.shape[1]
-    c2 = w3.shape[0]
 
     def mk(w_oihw, s_prev, sw, s_out, b_q):
         o = w_oihw.shape[0]
@@ -300,7 +288,6 @@ def qblock_chain(
     WROW = g * SEG
     M = H * WROW
     P = x.shape[0]
-    assert P % 2 == 0, "pack count must be even (two packs interleave per step)"
     assert x.shape[1] == M
     c0 = blocks[0].c_in
     c1 = blocks[0].c_mid
@@ -329,11 +316,9 @@ def qblock_chain(
 
     # regroup proj blocks' args into the nested tuple the kernel expects
     def kernel(*refs):
-        # refs: x_hbm, <nargs block refs>, o_ref, scratch..., sems
-        x_hbm = refs[0]
+        x_ref = refs[0]
         flat = list(refs[1 : 1 + nargs])
         rest = refs[1 + nargs:]
-        # repack: proj blocks carry (w4, m4, b4) as a nested triple
         out = []
         i = 0
         for blk in blocks:
@@ -344,27 +329,23 @@ def qblock_chain(
                 out += flat[i : i + 9]
                 i += 9
         _qblock_kernel(
-            x_hbm, *(tuple(out) + tuple(rest)),
-            blocks=blocks, M=M, WROW=WROW, SEG=SEG, W=W, nargs=_packed_len(blocks),
+            x_ref, *(tuple(out) + tuple(rest)),
+            blocks=blocks, M=M, WROW=WROW, SEG=SEG, W=W,
+            nargs=_packed_len(blocks),
         )
 
     out = pl.pallas_call(
         kernel,
-        grid=(P // 2,),
+        grid=(P,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (2, M, c2), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            (1, M, c2), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((P, M, c2), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, 2, M, c0), jnp.int8),        # xin (2 slots x 2 packs)
-            pltpu.VMEM((2, TOT, c1), jnp.int8),          # mids0
-            pltpu.VMEM((2, TOT, c1), jnp.int8),          # mids1 (center)
-            pltpu.VMEM((2, TOT, c1), jnp.int8),          # mids2
-            pltpu.VMEM((2, M, c2), jnp.int8),            # chainA
-            pltpu.VMEM((2, M, c2), jnp.int8),            # chainB
-            pltpu.SemaphoreType.DMA((2,)),                # input slots
-            pltpu.SemaphoreType.DMA((2, 2)),              # tap shifts per pack
+            pltpu.VMEM((2, M, c0), jnp.int8),   # xin (2 pipeline slots)
+            pltpu.VMEM((TOT, c1), jnp.int32),    # conv1 staging, zero borders
+            pltpu.SemaphoreType.DMA((2,)),        # input slots
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

@@ -292,6 +292,18 @@ def graph_to_tm_bytes(graph: Graph) -> bytes:
             zps = np.asarray(t.quant.zero_points, np.int32).reshape(-1)
             if zps.size == 1 and scales.size > 1:
                 zps = np.full(scales.size, int(zps[0]), np.int32)
+            if (
+                t.quant.width == 32
+                and scales.size > 1
+                and np.all(scales == scales[0])
+                and np.all(zps == zps[0])
+            ):
+                # collapse a uniform bias scale list to ONE entry: the
+                # reference's loader only sets the scalar tensor->scale when
+                # v_num == 1 (tm2_serializer.c:442-449), and its per-tensor
+                # kernels (e.g. ref_fc_uint8's bias_scale) read that scalar
+                # — a redundant uniform list would leave it zero there
+                scales, zps = scales[:1], zps[:1]
             qoffs = [
                 b.pack("ifi", int(z), float(s), t.quant.width)
                 for s, z in zip(scales, zps)

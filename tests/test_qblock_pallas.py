@@ -123,7 +123,7 @@ def make_block(rng, c_in, c_mid, c_out, proj, s_in, bias=True,
 def run_chain_case(rng, N, H, W, c0, c_mid, c_out, nblocks, first_proj,
                    bias=True, relu_rescale=False):
     _, g = seg_geometry(W)
-    N = 2 * g  # minimum: two packs interleave per grid step
+    N = 2 * g  # two packs -> two grid steps (exercises the DMA pipeline)
     s_in = 0.02
     x = rng.integers(-127, 128, (N, H, W, c0)).astype(np.int8)
 

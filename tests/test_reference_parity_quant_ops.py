@@ -61,9 +61,10 @@ def bconst(o):
 QCASES = {}
 
 
-def qcase(name, op, params, in_shapes, consts=None, schemes=("uint8", "int8")):
+def qcase(name, op, params, in_shapes, consts=None, schemes=("uint8", "int8"),
+          ref_env=None):
     assert name not in QCASES, name
-    QCASES[name] = (op, params, in_shapes, consts, schemes)
+    QCASES[name] = (op, params, in_shapes, consts, schemes, ref_env or {})
 
 
 # --- convolution: kernel/stride/shape sweep (conv_kernel_ref_{uint8,int8}.c)
@@ -85,11 +86,17 @@ qcase("conv_rect_1x5", "Convolution",
 qcase("conv_relu6", "Convolution", conv_p(3, c_in=4, c_out=6, act=6),
       [(1, 4, 8, 8)], [wconst(6, 4, 3), bconst(6)])
 
-# depthwise (conv ref kernels' group path)
+# depthwise (conv ref kernels' group path). int8 must force the reference's
+# ref tier: its x86 optimized dw-int8 kernels write fp32 intermediates into
+# the int8-sized output buffer (observed byte pattern = float32 Inf;
+# conv_dw_hcl_x86.c int8 path) — TG_DEBUG_REF=1 selects conv_ref, which
+# agrees with us exactly.
 qcase("conv_dw_k3s1", "Convolution", conv_p(3, group=4, c_in=4, c_out=4),
-      [(1, 4, 8, 8)], [wconst(4, 1, 3), bconst(4)])
+      [(1, 4, 8, 8)], [wconst(4, 1, 3), bconst(4)],
+      ref_env={"int8": {"TG_DEBUG_REF": "1"}})
 qcase("conv_dw_k3s2", "Convolution", conv_p(3, stride=2, group=4, c_in=4, c_out=4),
-      [(1, 4, 9, 9)], [wconst(4, 1, 3), bconst(4)])
+      [(1, 4, 9, 9)], [wconst(4, 1, 3), bconst(4)],
+      ref_env={"int8": {"TG_DEBUG_REF": "1"}})
 
 # --- fully connected (fc_kernel_ref_{uint8,int8}.c) ---------------------
 qcase("fc", "FullyConnected", dict(num_output=7), [(2, 3, 4, 4)],
@@ -144,14 +151,16 @@ qcase("dropout", "Dropout", {}, [(1, 4, 5, 5)])
 qcase("upsample_x2", "Upsample", dict(scale=2.0), [(1, 3, 5, 5)],
       schemes=("uint8",))
 
-# --- deconvolution (deconv ref kernels) ---------------------------------
-qcase("deconv_s2", "Deconvolution",
-      dict(num_output=4, kernel_h=3, kernel_w=3, stride_h=2, stride_w=2,
-           pad_h0=1, pad_w0=1, pad_h1=1, pad_w1=1, dilation_h=1, dilation_w=1,
-           group=1, activation=-1, output_pad_h0=0, output_pad_w0=0),
-      [(1, 3, 5, 5)],
-      [lambda r: (r.standard_normal((3, 4, 3, 3)) * 0.3).astype(np.float32)],
-      schemes=("uint8", "int8"))
+# Quantized ops investigated and NOT parity-testable — reference-side gaps,
+# each verified by reading the C source and probing the built engine:
+QUANT_DROPPED = {
+    "Deconvolution": "no quantized deconv kernel exists in the reference "
+        "CPU tier: deconv_ref.c:271-300 unconditionally calls "
+        "ref_deconv_fp32 on the raw int8/uint8 buffers (garbage output "
+        "verified under TG_DEBUG_REF=1 too); our quantized deconv is "
+        "covered by the generic dequant->fp32->requant wrapper + the fp32 "
+        "deconv C-parity cases instead",
+}
 
 
 ALL = [(n, s) for n, c in sorted(QCASES.items()) for s in c[4]]
@@ -159,7 +168,9 @@ ALL = [(n, s) for n, c in sorted(QCASES.items()) for s in c[4]]
 
 @pytest.mark.parametrize("name,scheme", ALL, ids=[f"{n}_{s}" for n, s in ALL])
 def test_quant_op_parity(name, scheme, tmp_path, rng):
-    op, params, in_shapes, consts, _ = QCASES[name]
+    import os
+
+    op, params, in_shapes, consts, _, ref_env = QCASES[name]
     const_arrays = [c(rng) for c in (consts or [])]
     g = _op_graph(op, params, in_shapes, const_arrays or None)
     calib = [
@@ -173,7 +184,14 @@ def test_quant_op_parity(name, scheme, tmp_path, rng):
         xqs.append(qmath.quantize_np(x, t.quant, t.dtype))
 
     ours = np.asarray(compile_graph(qg, Options(quant_mode="fast")).run(*xqs)[0])
-    ref = run_reference_multi(_save(qg, tmp_path), xqs, tmp_path)
+    extra = ref_env.get(scheme, {})
+    old = {k: os.environ.get(k) for k in extra}
+    os.environ.update(extra)
+    try:
+        ref = run_reference_multi(_save(qg, tmp_path), xqs, tmp_path)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.update({k: v})
     assert ref.size == ours.size, f"size mismatch: ours {ours.shape} ref {ref.shape}"
     ref = ref.reshape(ours.shape)
     assert ref.dtype == ours.dtype, (ref.dtype, ours.dtype)
