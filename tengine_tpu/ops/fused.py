@@ -425,6 +425,20 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
             s = np.full((int(t.shape[0]),), s[0], np.float32)
         return s
 
+    # Mosaic requires DMA-sliced arrays lane-aligned to the int8 tile (128);
+    # chains entered at c_in < 128 (resnet50 stage-1: 64) pad the input lane
+    # dim with zeros and the first block's 1x1 weights (w1, proj w4) with
+    # zero rows — exact.
+    c0 = cfgs[0].c_in
+    c0p = -(-c0 // 128) * 128
+    if c0p != c0:
+        from dataclasses import replace as _rep
+
+        cfgs[0] = _rep(cfgs[0], c_in=c0p)
+
+    def _pad_rows(a):
+        return np.pad(a, ((0, c0p - c0), (0, 0)))
+
     # host-side packing, memoized so the 9-12 param-store entries per block
     # share one build_block_args call at prepare time
     memo = {}
@@ -452,8 +466,14 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
 
         n = 12 if cfg.proj else 9
         for j in range(n):
+            pad = c0p != c0 and i == 0 and j in (0, 9)
             all_args.append(
-                ctx.get_param(f"qblk{i}a{j}", lambda j=j, f=compute_args: f()[j])
+                ctx.get_param(
+                    f"qblk{i}a{j}",
+                    lambda j=j, f=compute_args, pad=pad: (
+                        _pad_rows(f()[j]) if pad else f()[j]
+                    ),
+                )
             )
         sp = cfg.s_relu if cfg.s_relu is not None else cfg.s_out
 
@@ -472,11 +492,15 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
     if Np != N:
         xn = jnp.pad(xn, ((0, Np - N), (0, 0), (0, 0), (0, 0)))
     xp = pack_activations(xn, H, W)
+    if c0p != c0:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, c0p - c0)))
 
     # split the chain so each kernel fits VMEM (weights resident)
     M = xp.shape[1]
     WROW = gpack * SEG
-    budget = 11 * 1024 * 1024
+    from .pallas.qblock import VMEM_LIMIT
+
+    budget = (VMEM_LIMIT * 3) // 5  # headroom for Mosaic temporaries
     sub = []
     start = 0
     args_per = [12 if c.proj else 9 for c in cfgs]

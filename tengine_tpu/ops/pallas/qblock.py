@@ -64,8 +64,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Scoped-VMEM ceiling handed to Mosaic (v5e: 128 MiB physical per core).
+# ops/fused.py's chain splitter budgets against the same number.
+VMEM_LIMIT = 96 * 1024 * 1024
+
+
 def _round_away(x):
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    # native VPU round instruction, exact C round() semantics
+    return jax.lax.round(x, jax.lax.RoundingMethod.AWAY_FROM_ZERO)
 
 
 def seg_geometry(W: int) -> Tuple[int, int]:
@@ -349,6 +355,9 @@ def qblock_chain(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            # v5e has 128 MiB VMEM/core; the default 16 MiB scoped limit
+            # rejects whole-stage chains whose SSA live set exceeds it.
+            vmem_limit_bytes=VMEM_LIMIT,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops,

@@ -35,7 +35,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _round_away(x):
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    # native VPU round instruction, exact C round() semantics
+    return jax.lax.round(x, jax.lax.RoundingMethod.AWAY_FROM_ZERO)
 
 
 def _qgemm_kernel(

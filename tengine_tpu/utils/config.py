@@ -124,8 +124,11 @@ class Options:
     # VMEM (ops/pallas/qblock.py). The round-2 traces showed these blocks
     # ~70% HBM-BW-bound on the XLA bf16-storage path; the chain kernel
     # streams 1-byte activations only at chain boundaries. Bit-faithful to
-    # the unfused chain (tests/test_resblock_fusion.py).
-    fuse_resblock: bool = True
+    # the unfused chain (tests/test_resblock_fusion.py). Opt-in while the
+    # kernel's serial VPU epilogue chain still loses to the XLA path with
+    # native-instruction rounding (r50 b128: 12.8 vs 9.6 ms) — the kernel
+    # redesign (output-stationary taps, f32-carried residual) is in flight.
+    fuse_resblock: bool = False
 
     @classmethod
     def from_env(cls, **overrides) -> "Options":
