@@ -378,10 +378,10 @@ def _resblock_vmem(blocks, M, WROW) -> int:
         + (b.c_in * b.c_out if b.proj else 0)
         for b in blocks
     )
-    # xin (2 slots) + conv1 staging + rolled tap values + live SSA
-    # activations / int32 accumulators (Mosaic temporaries, estimated)
-    acts = 2 * M * c0 + 3 * (M + 2 * WROW) * c1 + 2 * M * c2
-    acc = 3 * M * max(c1, c2) * 4
+    # xin (2 slots x NSTREAM) + conv1 staging + live SSA activations /
+    # int32 accumulators (Mosaic temporaries, estimated), per stream
+    acts = 4 * M * c0 + 2 * (M + 2 * WROW) * c1 + 4 * M * c2
+    acc = 2 * 3 * M * max(c1, c2) * 4
     return w + acts + acc
 
 
@@ -487,7 +487,9 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
         xn = xn[:, ::2, ::2, :]
     N, H, W, _ = xn.shape
     SEG, gpack = seg_geometry(W)
-    need = gpack
+    from .pallas.qblock import NSTREAM
+
+    need = gpack * NSTREAM  # whole packs, and an even pack count per step
     Np = ((N + need - 1) // need) * need
     if Np != N:
         xn = jnp.pad(xn, ((0, Np - N), (0, 0), (0, 0), (0, 0)))

@@ -107,9 +107,14 @@ class QBlock:
     s2: float = 1.0     # conv2 output scale
 
 
-def _requant(acc, m, b, act, s_out, colmask, lo=-127.0, hi=127.0):
+def _requant(acc, m, b, act, s_out, colmask=None, lo=-127.0, hi=127.0):
     """clip(round_away(acc*M[c] + B[c]), lo, hi) with fused activation and
-    the pad-column mask — mirrors ops/quantized.py::_requant_conv_out."""
+    an optional pad-column mask — mirrors ops/quantized.py::_requant_conv_out.
+
+    The mask is only semantically required where the result feeds 3x3 tap
+    reads (the q1 staging write): every other op in the chain is per-row, so
+    pad-column garbage stays in pad columns and is either re-masked at the
+    next staging write or dropped by unpack_activations."""
     q = acc.astype(jnp.float32) * m + b
     if act is not None and act >= 0:
         if act == 1:
@@ -119,6 +124,8 @@ def _requant(acc, m, b, act, s_out, colmask, lo=-127.0, hi=127.0):
             if act > 0:
                 q = jnp.minimum(q, float(act) / s_out)
     q = jnp.clip(_round_away(q), lo, hi)
+    if colmask is None:
+        return q
     return jnp.where(colmask, q, 0.0)
 
 
@@ -143,28 +150,39 @@ def _roll_rows(v, shift):
     return pltpu.roll(v, shift, 0)
 
 
+NSTREAM = 2  # image-packs processed per grid step (interleaved SSA streams)
+
+
 def _qblock_kernel(
     x_hbm,       # [P, M, C0] int8 (packed flat layout)
     *refs,       # per-block weight/mult/bias refs, o_ref, scratch, sems
     blocks: Tuple[QBlock, ...],
     M: int, WROW: int, SEG: int, W: int, nargs: int,
 ):
+    """Chain body. Each grid step runs NSTREAM independent image-packs as
+    interleaved straight-line SSA chains: the serial dependency inside one
+    pack (dot -> requant -> staging -> tap dots -> ...) alternates MXU and
+    VPU work, so a second independent pack gives the scheduler instructions
+    to overlap one unit's work with the other's stalls."""
     bargs = refs[:nargs]
     o_ref = refs[nargs]
-    xin, mids1, sem_in = refs[nargs + 1:]
+    xin, stage, sem_in = refs[nargs + 1:]
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     slot = jax.lax.rem(s, 2)
+    S = NSTREAM
 
     def in_dma(sl, step):
-        return pltpu.make_async_copy(x_hbm.at[step], xin.at[sl], sem_in.at[sl])
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * S, S)], xin.at[sl], sem_in.at[sl]
+        )
 
     @pl.when(s == 0)
     def _():
         # zero once: conv1 rewrites rows [WROW, WROW+M) every block, the
         # border rows stay zero for the whole launch — they are the conv's
-        # top/bottom zero padding AND the rows the rolls wrap around
-        mids1[...] = jnp.zeros_like(mids1)
+        # top/bottom zero padding
+        stage[...] = jnp.zeros_like(stage)
         in_dma(0, 0).start()
 
     @pl.when(s + 1 < n_s)
@@ -174,10 +192,12 @@ def _qblock_kernel(
     in_dma(slot, s).wait()
 
     # pad-column mask: flat row i holds image column (i % SEG); cols >= W are
-    # padding and must stay exactly zero (conv zero-padding, zp = 0)
-    colmask = (
-        jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0), SEG) < W
-    )
+    # padding and must stay exactly zero where 3x3 taps read (conv
+    # zero-padding, zp = 0) — i.e. on the q1 staging write only
+    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
+    colmask = jax.lax.rem(rows, SEG) < W
+    not_first = rows > 0        # pre-zero for the dx=2 output roll wrap
+    not_last = rows < M - 1     # pre-zero for the dx=0 output roll wrap
 
     # per-block argument unpacking (order fixed by qblock_chain)
     off = 0
@@ -188,7 +208,8 @@ def _qblock_kernel(
         off += n
 
     nb = len(blocks)
-    cur = xin[slot]  # [M, C0] int8 value
+    cur_q = [xin[slot, st] for st in range(S)]   # [M, C0] int8 values
+    cur_f = [v.astype(jnp.float32) for v in cur_q]  # residual domain
     for b, (blk, ba) in enumerate(zip(blocks, packs)):
         if blk.proj:
             w1, m1, b1, w2, m2, b2, w3, m3, b3, proj_pack = ba
@@ -196,55 +217,92 @@ def _qblock_kernel(
         else:
             w1, m1, b1, w2, m2, b2, w3, m3, b3 = ba
 
-        q1 = _requant(
-            _dot(cur, w1[...]), m1[0][None, :], b1[0][None, :],
-            blk.act1, blk.s1, colmask,
-        )
-        # stage as int32: Mosaic's rotate is 32-bit-only, and an int8 roll
-        # by +-1 sublane would be the per-tap relayout this design avoids
-        mids1[pl.ds(WROW, M)] = q1.astype(jnp.int32)
-        m1v = mids1[...]                       # [TOT, C1] i32, zero borders
-        taps = {
-            0: _roll_rows(m1v, 1).astype(jnp.int8),
-            1: m1v.astype(jnp.int8),
-            2: _roll_rows(m1v, -1).astype(jnp.int8),
-        }
-
-        acc2 = None
-        for dy in range(3):
-            for dx in range(3):
-                d = _dot(
-                    jax.lax.slice_in_dim(taps[dx], dy * WROW, dy * WROW + M),
-                    w2[dy * 3 + dx],
-                )
-                acc2 = d if acc2 is None else acc2 + d
-        q2 = _requant(acc2, m2[0][None, :], b2[0][None, :],
-                      blk.act2, blk.s2, colmask)
-        t = _requant(
-            _dot(_i8(q2), w3[...]),
-            m3[0][None, :], b3[0][None, :], -1, 1.0, colmask,
-        )
-        # fused residual: dequant both quantized operands, add, requant —
-        # exactly the unfused Eltwise-SUM numerics (zp = 0 everywhere)
-        if blk.proj:
-            r = _requant(
-                _dot(cur, w4[...]), m4[0][None, :], b4[0][None, :],
-                -1, 1.0, colmask,
+        q1 = [
+            _requant(
+                _dot(cur_q[st], w1[...]), m1[0][None, :], b1[0][None, :],
+                blk.act1, blk.s1, colmask,
             )
+            for st in range(S)
+        ]
+        for st in range(S):
+            stage[st, pl.ds(WROW, M)] = _i8(q1[st])
+        # conv2 with OUTPUT-stationary column taps: the three dy variants of
+        # each dx are aligned sublane slices of the zero-bordered staging
+        # buffer (free); the +-1-column shifts move to the int32 partial
+        # accumulators T_dx via pltpu.roll (32-bit native). The roll's
+        # wrap-around row would import T from the far end of the pack, so
+        # that single row is pre-zeroed — its true tap contribution is the
+        # conv's zero padding. Earlier designs shifted the *inputs*, paying
+        # an i32 staging write + 2 big rolls + 3 [TOT,C] narrowing casts per
+        # block; this formulation does one i8 staging write and 2 [M,C]
+        # rolls, nothing else.
+        acc2 = []
+        for st in range(S):
+            sl = [stage[st, pl.ds(dy * WROW, M)] for dy in range(3)]
+            T = []
+            for dx in range(3):
+                acc = None
+                for dy in range(3):
+                    d = _dot(sl[dy], w2[dy * 3 + dx])
+                    acc = d if acc is None else acc + d
+                T.append(acc)
+            acc2.append(
+                _roll_rows(jnp.where(not_last, T[0], 0), 1)
+                + T[1]
+                + _roll_rows(jnp.where(not_first, T[2], 0), -1)
+            )
+        q2 = [
+            _requant(acc2[st], m2[0][None, :], b2[0][None, :],
+                     blk.act2, blk.s2)
+            for st in range(S)
+        ]
+        t = [
+            _requant(
+                _dot(_i8(q2[st]), w3[...]),
+                m3[0][None, :], b3[0][None, :], -1, 1.0,
+            )
+            for st in range(S)
+        ]
+        # fused residual: dequant both quantized operands, add, requant —
+        # exactly the unfused Eltwise-SUM numerics (zp = 0 everywhere). The
+        # residual operand rides along as the f32 value from the previous
+        # block (bit-identical to re-dequantizing the i8 copy, cast-free).
+        if blk.proj:
+            r = [
+                _requant(
+                    _dot(cur_q[st], w4[...]), m4[0][None, :], b4[0][None, :],
+                    -1, 1.0,
+                )
+                for st in range(S)
+            ]
         else:
-            r = cur.astype(jnp.float32)
-        y = _round_away((t * blk.s_mid + r * blk.s_r) / blk.s_out)
-        y = jnp.clip(y, -127.0, 127.0)
-        if blk.s_relu is not None:
-            # separate ReLu node semantics: requant(max(dequant(q), 0))
-            y = _round_away(jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu)
+            # a lane-padded chain entry (c_in < 128, ops/fused.py) carries
+            # zero pad lanes in cur_f; the residual is the unpadded prefix
+            r = [
+                v if v.shape[1] == t[0].shape[1] else v[:, : t[0].shape[1]]
+                for v in cur_f
+            ]
+        for st in range(S):
+            y = _round_away(
+                (t[st] * blk.s_mid + r[st] * blk.s_r) / blk.s_out
+            )
             y = jnp.clip(y, -127.0, 127.0)
-        y = jnp.where(colmask, y, 0.0)
-        yq = _i8(y)
-        if b == nb - 1:
-            o_ref[0] = yq
-        else:
-            cur = yq
+            if blk.s_relu is not None:
+                if blk.s_relu == blk.s_out:
+                    # degenerate separate-ReLu: requant(max(y*s,0)/s) == max
+                    # over the already-rounded integers — exact, round-free
+                    y = jnp.maximum(y, 0.0)
+                else:
+                    # separate ReLu node semantics: requant(max(dequant(q), 0))
+                    y = _round_away(
+                        jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu
+                    )
+                    y = jnp.clip(y, -127.0, 127.0)
+            yq = _i8(y)
+            if b == nb - 1:
+                o_ref[st] = yq
+            else:
+                cur_q[st], cur_f[st] = yq, y
 
 
 def build_block_args(blk: QBlock, w1, b1_q, w2, b2_q, w3, b3_q,
@@ -340,18 +398,20 @@ def qblock_chain(
             nargs=_packed_len(blocks),
         )
 
+    S = NSTREAM
+    assert P % S == 0, "batch pack count must be a multiple of NSTREAM"
     out = pl.pallas_call(
         kernel,
-        grid=(P,),
+        grid=(P // S,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, M, c2), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
+            (S, M, c2), lambda s: (s, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((P, M, c2), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, M, c0), jnp.int8),   # xin (2 pipeline slots)
-            pltpu.VMEM((TOT, c1), jnp.int32),    # conv1 staging, zero borders
-            pltpu.SemaphoreType.DMA((2,)),        # input slots
+            pltpu.VMEM((2, S, M, c0), jnp.int8),  # xin (2 pipeline slots)
+            pltpu.VMEM((S, TOT, c1), jnp.int8),   # conv1 staging, zero borders
+            pltpu.SemaphoreType.DMA((2,)),          # input slots
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
