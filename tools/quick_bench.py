@@ -62,8 +62,13 @@ def main():
         )
     else:
         x = jax.device_put(np.broadcast_to(calib[0], shape).astype(np.float32))
-    out = cg(x)
-    jax.block_until_ready(out)
+    def sync(out):
+        # block_until_ready does not actually wait through the axon tunnel;
+        # fetching one scalar to the host is the reliable sync (bench.py)
+        arr = out[0]
+        return float(np.asarray(arr[(0,) * arr.ndim]))
+
+    sync(cg(x))
     compile_s = time.perf_counter() - t0
 
     def run_n(k):
@@ -71,7 +76,7 @@ def main():
         o = None
         for _ in range(k):
             o = cg(x)
-        jax.block_until_ready(o)
+        sync(o)
         return time.perf_counter() - t0
 
     n = 41
