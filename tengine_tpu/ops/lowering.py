@@ -441,9 +441,16 @@ def lower_lrn(ctx: LowerCtx, x: TArr):
     sq = xn * xn
     half0 = (size - 1) // 2  # window [c-half0, c+half1] like caffe
     half1 = size // 2
-    summed = lax.reduce_window(
-        sq, 0.0, lax.add, (1, size, 1, 1), (1, 1, 1, 1), [(0, 0), (half0, half1), (0, 0), (0, 0)]
-    )
+    # explicit pad + static shifted slices rather than a channel-axis
+    # reduce_window: XLA's TPU space_to_batch_converter mis-rewrites the
+    # window-over-features form and aborts the compile (googlenet's 5-wide
+    # LRN: "f32[1,56,56,192] is not compatible with f32[1,56,56,188]");
+    # the unrolled sum is the same arithmetic and fuses fine.
+    C = sq.shape[1]
+    sqp = jnp.pad(sq, ((0, 0), (half0, half1), (0, 0), (0, 0)))
+    summed = sqp[:, 0:C]
+    for d in range(1, size):
+        summed = summed + sqp[:, d : d + C]
     out = xn * jnp.power(1.0 + (p["alpha"] / size) * summed, -p["beta"])
     return nchw(out)
 
