@@ -72,8 +72,11 @@ class Builder:
         return self.pack(f"I{len(flat)}f", len(vals), *flat)
 
 
-def _w_fields(fmt: str, names: List[str], defaults: Optional[Dict[str, Any]] = None):
+def _w_fields(fmt: str, names: List[str], defaults: Optional[Dict[str, Any]] = None,
+              fixup=None):
     def write(b: Builder, p: Dict[str, Any]) -> int:
+        if fixup is not None:
+            p = fixup(p)
         d = defaults or {}
         vals = [p.get(n, d.get(n, 0)) for n in names]
         return b.pack(fmt, *vals)
@@ -186,7 +189,14 @@ PARAM_WRITERS = {
         "Iifff", ["type", "caffe_flavor", "shift", "power", "scale"],
         {"power": 1.0, "scale": 1.0},
     ),
-    "Flatten": _w_fields("ii", ["axis", "end_axis"], {"axis": 1}),
+    # end_axis: the reference's flatten infer_shape iterates axis..end_axis
+    # literally (flatten.c:44-48), so a caffe-style -1 would flatten zero
+    # dims there; resolve it to the last 4-D axis on the wire.
+    "Flatten": _w_fields(
+        "ii", ["axis", "end_axis"], {"axis": 1},
+        fixup=lambda p: {**p, "end_axis": 3}
+        if p.get("end_axis", -1) in (-1, None) else p,
+    ),
     "FullyConnected": _w_fields("i", ["num_output"]),
     "LRN": _w_lrn,
     "Normalize": _w_fields("ii", ["across_spatial", "channel_shared"]),

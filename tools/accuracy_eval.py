@@ -195,6 +195,7 @@ tmfile, in_npy, out_npy = sys.argv[1:4]
 x = np.load(in_npy)
 graph = tg.Graph(None, 'tengine', tmfile)
 itensor = graph.getInputTensor(0, 0)
+itensor.shape = list(x[0:1].shape)
 graph.preRun()
 preds = []
 for i in range(x.shape[0]):
