@@ -80,3 +80,25 @@ def test_save_load_file(tmp_path, rng):
     save_tmfile(g, p)
     g2 = tt.load_model(p)
     assert len(g2.nodes) == len(g.nodes)
+
+
+def test_flatten_end_axis_resolved_on_wire():
+    """The reference's flatten infer_shape iterates axis..end_axis literally
+    (flatten.c:44-48): a caffe-style end_axis=-1 flattens ZERO dims there
+    and any Flatten->FC net fails its prerun. The writer must resolve -1 to
+    the last 4-D axis (the form the reference's own converters emit)."""
+    from tengine_tpu.graph.ir import DType, Graph
+
+    g = Graph(name="flat")
+    x = g.add_tensor("x", DType.FP32, [1, 4, 2, 2], TensorType.INPUT)
+    y = g.add_tensor("y", DType.FP32, [], TensorType.VAR)
+    inp = g.add_node("InputOp", "input", [], [x.idx])
+    g.add_node("Flatten", "flat", [x.idx], [y.idx],
+               params=dict(axis=1, end_axis=-1))
+    g.inputs = [inp.idx]
+    g.outputs = [g.nodes[-1].idx]
+
+    g2 = load_tm_bytes(graph_to_tm_bytes(g))
+    flat = [n for n in g2.nodes if n.op == "Flatten"][0]
+    assert flat.params["end_axis"] == 3
+    assert flat.params["axis"] == 1

@@ -284,7 +284,13 @@ def main():
             calib_idx = rng.choice(len(xtr), args.calib, replace=False)
             calib = [xtr[i : i + 1] for i in calib_idx]
             torch_acc = train(model, xtr, ytr, xte, yte, args.epochs, seed=seed)
-            g = from_torch(model, torch.zeros(1, 1, 32, 32))
+            from tengine_tpu.graph.passes import optimize
+
+            # convert-time fusions (BN fold etc.) — the reference's int8
+            # tmfiles never contain BatchNormalization (its converter folds
+            # it, and its CPU tier has no int8 BN kernel), so fold before
+            # quantizing for a comparable artifact
+            g = optimize(from_torch(model, torch.zeros(1, 1, 32, 32)))
             fp32 = top1_ours(g, xte, yte, quantized=False)
             row = {"torch_fp32_top1": torch_acc, "ours_fp32_top1": fp32}
             for scheme, algo in (
