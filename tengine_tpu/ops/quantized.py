@@ -791,6 +791,51 @@ def lower_maxpool_quant(ctx: LowerCtx, x: TArr):
     return lower_pooling(ctx, x)
 
 
+@register_op(
+    "Pooling",
+    score=SCORE_BEST,
+    predicate=lambda c: node_is_quant(c)
+    and c.params.get("alg") == 1
+    and c.params.get("global_pool"),
+    quant=True,
+)
+def lower_global_avgpool_quant(ctx: LowerCtx, x: TArr):
+    """Global average pool on the RAW quantized values: the mean commutes
+    with the affine dequant map ((mean(q) - zp)*s == mean((q - zp)*s) up to
+    fp association), so the big reduce runs at storage dtype with no
+    per-element dequant pass and only the pooled [N,1,1,C] result pays the
+    dequant -> requant affine. The generic wrapper's per-element (q-zp)*s
+    forced an f32-operand reduce fusion that ran ~3x slower on uint8 SE
+    pools (mobilenet-v3 b128 device trace: 0.67 vs 0.23 ms for the 672-ch
+    14x14 SE stage). Reference numerics: pooling_kernel_ref_uint8.c
+    dequant-sum-divide-requant; the factored form differs only in fp
+    association (<=1 LSB on round ties)."""
+    t_in, t_out = ctx.in_tensor(0), ctx.out_tensor(0)
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+    xn = as_nhwc(x)
+    # keep the reduce OUT of the producer's fusion: XLA fuses the pooled
+    # sum into the preceding depthwise conv as a kOutput epilogue, which
+    # forces that conv onto a ~3-5x slower window-emitter config
+    # (mobilenet-v3 SE stages, estimated_cycles ~1M vs ~0.2M standalone)
+    xn = jax.lax.optimization_barrier(xn)
+    # raw q values are exact small integers in any float storage dtype; the
+    # f32-ACCUMULATING sum reads the bf16 operand directly (sum < 2^24 so
+    # the accumulation is exact) — an .astype(f32) before the reduce would
+    # materialize the f32 operand and double the reduce's HBM traffic,
+    # which is precisely the cost this kernel removes
+    if jnp.issubdtype(xn.dtype, jnp.integer):
+        xn = xn.astype(jnp.int32)
+        m = jnp.sum(xn, axis=(1, 2), keepdims=True).astype(jnp.float32)
+    else:
+        m = jnp.sum(xn, axis=(1, 2), keepdims=True, dtype=jnp.float32)
+    m = m / float(xn.shape[1] * xn.shape[2])
+    v = (m - zp_in) * s_in
+    out = qmath.requantize(v, t_out.quant, t_out.dtype)
+    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else t_out.dtype.np
+    return nhwc(out.astype(store))
+
+
 @register_op("ReLu", score=SCORE_BEST, predicate=lambda c: _same_quant(c) and not c.params.get("negative_slope"), quant=True)
 def lower_relu_quant(ctx: LowerCtx, x: TArr):
     """relu in the quantized domain: max(q, zp) (relu_ref uint8 path)."""
