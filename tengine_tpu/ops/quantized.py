@@ -132,6 +132,22 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
             xs = xn  # already exact bf16 integers
         else:
             xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
+        if group == out_c and int(t_w.shape[1]) == 1 and group > 1:
+            # depthwise + elementwise-producer input: block input-prologue
+            # fusion — ops fused into the conv's input are recomputed once
+            # per overlapping window read (k^2 amplification under the
+            # depthwise window emitters). Only when the producer is an
+            # elementwise chain (h-swish / SE broadcast-mul and friends):
+            # mobilenet-v3 uint8 b128 23.4k -> 27.6k img/s. When the
+            # producer is itself a conv its output is materialized anyway
+            # and the barrier just inserts a copy (mobilenet-v1 -12%).
+            prod = ctx.graph.tensors[ctx.node.inputs[0]].producer
+            prod_op = ctx.graph.nodes[prod].op if prod is not None else ""
+            if prod_op not in (
+                "Convolution", "Pooling", "InputOp", "FusedDwPwConv",
+                "FusedResBlockChain",
+            ):
+                xs = jax.lax.optimization_barrier(xs)
         acc = lax.conv_general_dilated(
             xs,
             w,
