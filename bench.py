@@ -24,7 +24,7 @@ import time
 import numpy as np
 
 
-def measure_device_ms(call, sync, n=41, trials=4, warmup=2, target_ms=40.0):
+def measure_device_ms(call, sync, n=41, trials=5, warmup=2, target_ms=120.0):
     """Per-iteration device time via the pipelined-dispatch slope method.
 
     Tunnel RTT jitter is tens of ms, so for sub-ms iterations the slope
