@@ -47,9 +47,12 @@ def measure_device_ms(call, sync, n=41, trials=5, warmup=2, target_ms=120.0):
     t1_best = min(run_n(1) for _ in range(trials))
     tn_best = min(run_n(n) for _ in range(trials))
     slope = (tn_best - t1_best) / (n - 1)
-    est_ms = max(slope, 1e-6) * 1e3
-    if est_ms * n < target_ms:
-        n = int(target_ms / est_ms) + 1
+    est_ms = slope * 1e3
+    if 0 < est_ms and est_ms * n < target_ms:
+        # Cap the escalation: a degenerate pilot (slope ~ 0) must not drive
+        # n to ~1e5 dispatches at ~30us tunnel dispatch cost each
+        # (ADVICE r3 item 1).
+        n = min(int(target_ms / est_ms) + 1, 4096)
         tn_best = min(run_n(n) for _ in range(trials))
         slope = (tn_best - t1_best) / (n - 1)
     if slope <= 0:
@@ -275,14 +278,22 @@ def main():
         )
     except Exception as e:
         print(f"[bench] secondary configs failed: {e}", file=sys.stderr)
-    regression_gate(results)
+    regressions = regression_gate(results)
     result = {
         "metric": f"{model}_uint8_images_per_sec_per_chip",
         "value": round(u8_ips, 0),
         "unit": "img/s",
         "vs_baseline": round(u8_ips / baseline_ips, 1),
+        # Blocking gate status (VERDICT r3 item 8): a round must not end
+        # green with an undiagnosed perf regression. The driver records this
+        # JSON verbatim, so a failure is loud in BENCH_r{N}.json itself.
+        "gate": "FAILED: " + ", ".join(
+            f"{k} {p:.0f}->{v:.0f}" for k, p, v in regressions
+        ) if regressions else "ok",
     }
     print(json.dumps(result))
+    if regressions:
+        sys.exit(3)
 
 
 if __name__ == "__main__":

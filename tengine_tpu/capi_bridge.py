@@ -180,3 +180,254 @@ def set_log_level(level: int) -> int:
 def dump_graph(h: int) -> int:
     print(_graph(h).dump())
     return 0
+
+
+# ---------------------------------------------------------------------------
+# Round-4 ABI breadth (VERDICT r3 item 7): quant params, node accessors,
+# load-from-memory, C-side custom kernels.
+# ---------------------------------------------------------------------------
+
+
+def create_graph_mem(model_format: str, data: bytes) -> int:
+    """create_graph(ctx, "tengine:m", addr, size) — load a tmfile image
+    straight from caller memory (c_api.c:400-421; tm2 load_mem)."""
+    from .api import Graph
+    from .serializer.tm2.reader import load_tm_bytes
+
+    if not model_format.split(":")[0] in ("tengine", ""):
+        raise ValueError(f"unsupported in-memory format {model_format!r}")
+    g = Graph(None, ir=load_tm_bytes(bytes(data), name="<memory>"))
+    h = next(_next)
+    _graphs[h] = g
+    return h
+
+
+def get_tensor_quant_param(h: int, tidx: int, number: int):
+    """get_tensor_quant_param (c_api.h:933-936)."""
+    q = _graph(h).ir.tensors[tidx].quant
+    if q is None:
+        return [], []
+    s = np.asarray(q.scales, np.float64).reshape(-1)[:number]
+    z = np.asarray(q.zero_points, np.int64).reshape(-1)[:number]
+    n = max(s.size, z.size)
+    s = np.resize(s, n) if s.size else np.zeros(n)
+    z = np.resize(z, n) if z.size else np.zeros(n, np.int64)
+    return [float(v) for v in s], [int(v) for v in z]
+
+
+def set_tensor_quant_param(h: int, tidx: int, scales, zero_points) -> int:
+    """set_tensor_quant_param (c_api.h:918-924)."""
+    from .graph.ir import QuantParam
+
+    t = _graph(h).ir.tensors[tidx]
+    s = np.asarray(scales, np.float32)
+    z = np.asarray(zero_points, np.int32)
+    if len(scales) == 1:  # per-tensor: scalar shape, like the tmfile loader
+        s, z = s.reshape(()), z.reshape(())
+    t.quant = QuantParam(scales=s, zero_points=z)
+    g = _graphs[h]
+    g._compiled = None  # quant change invalidates the build
+    g.ir._is_quantized = None
+    return 0
+
+
+# ---- node accessors (c_api.h:487-602) ----
+
+
+def node_num(h: int) -> int:
+    return len(_graph(h).ir.nodes)
+
+
+def node_check(h: int, idx: int) -> int:
+    return idx if 0 <= idx < len(_graph(h).ir.nodes) else -1
+
+
+def node_idx_by_name(h: int, name: str) -> int:
+    for n in _graph(h).ir.nodes:
+        if n.name == name:
+            return n.idx
+    return -1
+
+
+def node_name(h: int, nidx: int) -> str:
+    return _graph(h).ir.nodes[nidx].name
+
+
+def node_op(h: int, nidx: int) -> str:
+    return _graph(h).ir.nodes[nidx].op
+
+
+def node_input_count(h: int, nidx: int) -> int:
+    return len(_graph(h).ir.nodes[nidx].inputs)
+
+
+def node_output_count(h: int, nidx: int) -> int:
+    return len(_graph(h).ir.nodes[nidx].outputs)
+
+
+def node_input_tensor_idx(h: int, nidx: int, i: int) -> int:
+    ins = _graph(h).ir.nodes[nidx].inputs
+    return ins[i] if 0 <= i < len(ins) else -1
+
+
+def node_output_tensor_idx(h: int, nidx: int, i: int) -> int:
+    outs = _graph(h).ir.nodes[nidx].outputs
+    return outs[i] if 0 <= i < len(outs) else -1
+
+
+# ---- C-side custom kernels (c_api.h:183-309, set_custom_kernel :742) ----
+#
+# The C embedder hands us a `struct custom_kernel_ops*`. We parse it with
+# ctypes, and register a lowering (scoped to the node via a params marker
+# that survives graph clones) whose body is a jax.pure_callback: at run
+# time the callback materializes `struct custom_kernel_tensor` views over
+# host numpy buffers and invokes ops->run — the user's C kernel executes as
+# a host-callback node inside the jitted program, the TPU-native analog of
+# the reference's custom CPU node (cpu_module.c:187-216).
+
+import ctypes as _ct
+
+_MAX_DIM = 8  # MAX_SHAPE_DIM_NUM (c_api.h:55)
+
+
+class _CKTensor(_ct.Structure):
+    _fields_ = [
+        ("dim", _ct.c_int * _MAX_DIM),
+        ("dim_num", _ct.c_int),
+        ("element_num", _ct.c_int),
+        ("element_size", _ct.c_int),
+        ("data_type", _ct.c_int),
+        ("dev_type", _ct.c_int),
+        ("layout_type", _ct.c_int),
+        ("quant_type", _ct.c_int),
+        ("scale", _ct.POINTER(_ct.c_float)),
+        ("zero_point", _ct.POINTER(_ct.c_int)),
+        ("quant_number", _ct.POINTER(_ct.c_int)),
+        ("data", _ct.c_void_p),
+        ("dev_mem", _ct.c_void_p),
+        ("mapped_mem", _ct.c_void_p),
+    ]
+
+
+_RUN_FN = _ct.CFUNCTYPE(
+    _ct.c_int, _ct.c_void_p, _ct.POINTER(_ct.POINTER(_CKTensor)), _ct.c_int,
+    _ct.POINTER(_ct.POINTER(_CKTensor)), _ct.c_int)
+_INFER_FN = _ct.CFUNCTYPE(
+    _ct.c_int, _ct.c_void_p, _ct.POINTER(_ct.POINTER(_ct.c_int)), _ct.c_int,
+    _ct.POINTER(_ct.POINTER(_ct.c_int)), _ct.c_int, _ct.c_int)
+
+
+class _CKOps(_ct.Structure):
+    _fields_ = [
+        ("kernel_name", _ct.c_char_p),
+        ("op", _ct.c_char_p),
+        ("force", _ct.c_int),
+        ("kernel_param", _ct.c_void_p),
+        ("kernel_param_size", _ct.c_int),
+        ("infer_shape", _INFER_FN),
+        ("inplace_info", _ct.c_void_p),
+        ("bind", _ct.c_void_p),
+        ("prerun", _ct.c_void_p),
+        ("reshape", _ct.c_void_p),
+        ("run", _RUN_FN),
+        ("postrun", _ct.c_void_p),
+        ("release", _ct.c_void_p),
+    ]
+
+
+_custom_kernels: Dict[str, int] = {}  # marker key -> ops struct address
+_NP_DT_CODE = {"float32": 0, "float16": 1, "int8": 2, "uint8": 3,
+               "int32": 4, "int16": 5}
+
+
+def _ck_view(arr: np.ndarray) -> _CKTensor:
+    t = _CKTensor()
+    for i, d in enumerate(arr.shape[:_MAX_DIM]):
+        t.dim[i] = int(d)
+    t.dim_num = arr.ndim
+    t.element_num = arr.size
+    t.element_size = arr.itemsize
+    t.data_type = _NP_DT_CODE.get(arr.dtype.name, 0)
+    t.layout_type = 0  # NCHW semantic order
+    t.data = arr.ctypes.data
+    return t
+
+
+def _ck_infer_out_shape(ops: "_CKOps", in_shapes) -> list:
+    if not ops.infer_shape:
+        return list(in_shapes[0])
+    ibufs = [(_ct.c_int * _MAX_DIM)(*list(s) + [0] * (_MAX_DIM - len(s)))
+             for s in in_shapes]
+    iptr = (_ct.POINTER(_ct.c_int) * len(ibufs))(*[
+        _ct.cast(b, _ct.POINTER(_ct.c_int)) for b in ibufs])
+    obuf = (_ct.c_int * _MAX_DIM)()
+    optr = (_ct.POINTER(_ct.c_int) * 1)(_ct.cast(obuf, _ct.POINTER(_ct.c_int)))
+    rc = ops.infer_shape(_ct.addressof(ops), iptr, len(ibufs), optr, 1, 0)
+    if rc != 0:
+        raise RuntimeError("custom kernel infer_shape failed")
+    out = [int(d) for d in obuf if d != 0]
+    return out or list(in_shapes[0])
+
+
+def _lower_custom_kernel(ctx, *args):
+    """Lowering for nodes carrying a _custom_kernel marker: host callback
+    into the embedder's C run()."""
+    import jax
+
+    from .ops.layout import TArr, as_nchw, nchw
+
+    key = ctx.node.params["_custom_kernel"]
+    addr = _custom_kernels[key]
+    ops = _CKOps.from_address(addr)
+    xs = [TArr(as_nchw(a), None) for a in args]
+    in_shapes = [tuple(int(d) for d in a.shape) for a in xs]
+    out_shape = tuple(_ck_infer_out_shape(ops, in_shapes))
+    out_dtype = ctx.out_tensor(0).dtype.np
+
+    def cb(*arrs):
+        ins = [np.ascontiguousarray(a) for a in arrs]
+        out = np.zeros(out_shape, out_dtype)
+        ick = [_ck_view(a) for a in ins]
+        ock = [_ck_view(out)]
+        iptr = (_ct.POINTER(_CKTensor) * len(ick))(*[_ct.pointer(t) for t in ick])
+        optr = (_ct.POINTER(_CKTensor) * 1)(_ct.pointer(ock[0]))
+        rc = ops.run(addr, iptr, len(ick), optr, 1)
+        if rc != 0:
+            raise RuntimeError(f"custom kernel run() rc={rc}")
+        return out
+
+    out = jax.pure_callback(
+        cb, jax.ShapeDtypeStruct(out_shape, out_dtype), *[a.x for a in xs]
+    )
+    return nchw(out)
+
+
+_CK_REGISTERED = set()
+
+
+def set_custom_kernel(h: int, nidx: int, dev_name: str, ops_addr: int) -> int:
+    from .ops.registry import SCORE_STATIC, register_op
+
+    g = _graphs[h]
+    node = g.ir.nodes[nidx]
+    key = f"ck/{h}/{nidx}/{dev_name}"
+    node.params["_custom_kernel"] = key
+    _custom_kernels[key] = int(ops_addr)
+    if node.op not in _CK_REGISTERED:
+        _CK_REGISTERED.add(node.op)
+        register_op(
+            node.op,
+            score=SCORE_STATIC + 100,  # "force": outranks every builtin tier
+            predicate=lambda c: c.node.params.get("_custom_kernel") in _custom_kernels,
+        )(_lower_custom_kernel)
+    g._compiled = None
+    return 0
+
+
+def remove_custom_kernel(h: int, nidx: int, dev_name: str) -> int:
+    g = _graphs[h]
+    node = g.ir.nodes[nidx]
+    key = node.params.pop("_custom_kernel", None)
+    _custom_kernels.pop(key, None)
+    g._compiled = None
+    return 0

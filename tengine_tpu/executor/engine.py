@@ -121,6 +121,13 @@ class CompiledGraph:
     def __call__(self, *inputs):
         return self._fn(self.params, *inputs)
 
+    @property
+    def forward_fn(self) -> Callable:
+        """Public jittable forward: fn(params, *inputs) -> outputs. The
+        un-jitted traced function, for AOT lowering / re-jitting under
+        shardings (used by parallel/sharding.py and the driver entry)."""
+        return self._fn.__wrapped__
+
     def run(self, *inputs) -> List[np.ndarray]:
         outs = self._fn(self.params, *inputs)
         return [np.asarray(o) for o in outs]

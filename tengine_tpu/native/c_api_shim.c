@@ -19,12 +19,23 @@
  *   get_tensor_buffer_size / get_tensor_buffer /
  *     set_tensor_buffer                                         (c_api.h:828-851)
  *   get_tensor_data_type / set_log_level / dump_graph
+ *   set/get_tensor_quant_param                                   (c_api.h:924-936)
+ *   get_graph_node_num / get_graph_node / get_graph_node_by_idx /
+ *     get_node_name / get_node_op / get_node_input_number /
+ *     get_node_output_number / get_node_input_tensor /
+ *     get_node_output_tensor                                     (c_api.h:487-602)
+ *   create_graph(ctx, "tengine:m", addr, size) load-from-memory  (c_api.c:400-421)
+ *   set_custom_kernel / remove_custom_kernel                     (c_api.h:742-752)
+ *     (the custom_kernel_ops struct is parsed on the Python side via
+ *      ctypes from the pointer we forward; its run() executes as a host
+ *      callback inside the jitted program)
  *
  * Build: gcc -shared -fPIC c_api_shim.c -lpython3.x (native/__init__.py
  * :build_capi does this on demand). Embedders link the result exactly like
  * libtengine-lite.so.
  */
 
+#define PY_SSIZE_T_CLEAN /* required for the "y#" byte-buffer format */
 #include <Python.h>
 
 #include <stdarg.h>
@@ -146,6 +157,20 @@ const char* get_tengine_version(void)
 graph_t create_graph(context_t context, const char* model_format, const char* file_name, ...)
 {
     (void)context;
+    /* "<fmt>:m" = load from memory: file_name is the buffer address and one
+     * vararg carries the byte size (c_api.c:400-421) */
+    const char* colon = model_format ? strchr(model_format, ':') : NULL;
+    if (colon && colon[1] == 'm') {
+        va_list ap;
+        va_start(ap, file_name);
+        int size = va_arg(ap, int);
+        va_end(ap);
+        long h = ret_long(
+            bridge_call("create_graph_mem", "(sy#)", model_format,
+                        (const char*)file_name, (Py_ssize_t)size),
+            0);
+        return (graph_t)(uintptr_t)h;
+    }
     long h = ret_long(bridge_call("create_graph", "(ss)", model_format, file_name), 0);
     return (graph_t)(uintptr_t)h;
 }
@@ -283,4 +308,143 @@ int set_log_level(int level)
 int dump_graph(graph_t graph)
 {
     return (int)ret_long(bridge_call("dump_graph", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+/* ---- tensor quant params (c_api.h:924-936) ---- */
+
+int set_tensor_quant_param(tensor_t tensor, const float* scale, const int* zero_point, int number)
+{
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* ls = PyList_New(number);
+    PyObject* lz = PyList_New(number);
+    for (int i = 0; i < number; i++) {
+        PyList_SetItem(ls, i, PyFloat_FromDouble(scale[i]));
+        PyList_SetItem(lz, i, PyLong_FromLong(zero_point[i]));
+    }
+    PyGILState_Release(st);
+    PyObject* r = bridge_call("set_tensor_quant_param", "(llOO)", T_GRAPH(tensor),
+                              T_IDX(tensor), ls, lz);
+    st = PyGILState_Ensure();
+    Py_DECREF(ls);
+    Py_DECREF(lz);
+    PyGILState_Release(st);
+    return (int)ret_long(r, -1);
+}
+
+int get_tensor_quant_param(tensor_t tensor, float* scale, int* zero_point, int number)
+{
+    PyObject* r = bridge_call("get_tensor_quant_param", "(lli)", T_GRAPH(tensor),
+                              T_IDX(tensor), number);
+    if (!r)
+        return -1;
+    PyGILState_STATE st = PyGILState_Ensure();
+    int rc = -1;
+    if (PyTuple_Check(r) && PyTuple_Size(r) == 2) {
+        PyObject* ls = PyTuple_GetItem(r, 0);
+        PyObject* lz = PyTuple_GetItem(r, 1);
+        int n = (int)PyList_Size(ls);
+        for (int i = 0; i < n && i < number; i++) {
+            scale[i] = (float)PyFloat_AsDouble(PyList_GetItem(ls, i));
+            zero_point[i] = (int)PyLong_AsLong(PyList_GetItem(lz, i));
+        }
+        rc = 0;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return rc;
+}
+
+/* ---- node accessors (c_api.h:487-602); node handles pack like tensors ---- */
+
+int get_graph_node_num(graph_t graph)
+{
+    return (int)ret_long(bridge_call("node_num", "(l)", (long)(uintptr_t)graph), -1);
+}
+
+node_t get_graph_node_by_idx(graph_t graph, int idx)
+{
+    long n = ret_long(bridge_call("node_check", "(li)", (long)(uintptr_t)graph, idx), -1);
+    return n < 0 ? NULL : T_HANDLE((uintptr_t)graph, n);
+}
+
+node_t get_graph_node(graph_t graph, const char* node_name)
+{
+    long n = ret_long(
+        bridge_call("node_idx_by_name", "(ls)", (long)(uintptr_t)graph, node_name), -1);
+    return n < 0 ? NULL : T_HANDLE((uintptr_t)graph, n);
+}
+
+/* name/op return pointers into a small ring of static buffers, valid until
+ * 8 further calls — same informal lifetime class as the reference's
+ * pointers into IR memory */
+static const char* str_ring(PyObject* r)
+{
+    static char bufs[8][256];
+    static int slot = 0;
+    if (!r)
+        return NULL;
+    PyGILState_STATE st = PyGILState_Ensure();
+    const char* s = PyUnicode_Check(r) ? PyUnicode_AsUTF8(r) : NULL;
+    char* out = NULL;
+    if (s) {
+        out = bufs[slot = (slot + 1) % 8];
+        snprintf(out, sizeof(bufs[0]), "%s", s);
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return out;
+}
+
+const char* get_node_name(node_t node)
+{
+    return str_ring(bridge_call("node_name", "(ll)", T_GRAPH(node), T_IDX(node)));
+}
+
+const char* get_node_op(node_t node)
+{
+    return str_ring(bridge_call("node_op", "(ll)", T_GRAPH(node), T_IDX(node)));
+}
+
+int get_node_input_number(node_t node)
+{
+    return (int)ret_long(bridge_call("node_input_count", "(ll)", T_GRAPH(node), T_IDX(node)), -1);
+}
+
+int get_node_output_number(node_t node)
+{
+    return (int)ret_long(bridge_call("node_output_count", "(ll)", T_GRAPH(node), T_IDX(node)), -1);
+}
+
+tensor_t get_node_input_tensor(node_t node, int input_idx)
+{
+    long t = ret_long(
+        bridge_call("node_input_tensor_idx", "(lli)", T_GRAPH(node), T_IDX(node), input_idx), -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)T_GRAPH(node), t);
+}
+
+tensor_t get_node_output_tensor(node_t node, int output_idx)
+{
+    long t = ret_long(
+        bridge_call("node_output_tensor_idx", "(lli)", T_GRAPH(node), T_IDX(node), output_idx), -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)T_GRAPH(node), t);
+}
+
+/* ---- custom kernels (c_api.h:183-309, :742-752) ----
+ * The struct pointer is forwarded as an integer; capi_bridge parses it with
+ * ctypes and wires ops->run as a host callback node in the jitted program. */
+
+int set_custom_kernel(node_t node, const char* dev_name, void* kernel_ops)
+{
+    return (int)ret_long(
+        bridge_call("set_custom_kernel", "(llsl)", T_GRAPH(node), T_IDX(node),
+                    dev_name ? dev_name : "", (long)(uintptr_t)kernel_ops),
+        -1);
+}
+
+int remove_custom_kernel(node_t node, const char* dev_name)
+{
+    return (int)ret_long(
+        bridge_call("remove_custom_kernel", "(lls)", T_GRAPH(node), T_IDX(node),
+                    dev_name ? dev_name : ""),
+        -1);
 }

@@ -840,7 +840,13 @@ def lower_global_avgpool_quant(ctx: LowerCtx, x: TArr):
     # the accumulation is exact) — an .astype(f32) before the reduce would
     # materialize the f32 operand and double the reduce's HBM traffic,
     # which is precisely the cost this kernel removes
-    if jnp.issubdtype(xn.dtype, jnp.integer):
+    hw = int(xn.shape[1]) * int(xn.shape[2])
+    qmax = max(qmath.QRANGE[t_in.dtype][1], -qmath.QRANGE[t_in.dtype][0])
+    if jnp.issubdtype(xn.dtype, jnp.integer) or hw * qmax >= 2**24:
+        # f32 accumulation is only exact while every partial sum stays below
+        # 2^24; a global pool over >= ~257x257 uint8 spatial can exceed it
+        # (ADVICE r3 item 2). Integer-sum exactly in i32 instead (the cast
+        # pays one extra pass on the rare huge-spatial case only).
         xn = xn.astype(jnp.int32)
         m = jnp.sum(xn, axis=(1, 2), keepdims=True).astype(jnp.float32)
     else:

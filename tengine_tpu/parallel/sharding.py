@@ -72,7 +72,6 @@ def shard_compiled(cg: CompiledGraph, mesh: Mesh) -> CompiledGraph:
         NamedSharding(mesh, P("data", *([None] * (len(cg.graph.tensors[tid].shape) - 1))))
         for tid in cg.input_ids
     )
-    fn = jax.jit(cg._fn.__wrapped__ if hasattr(cg._fn, "__wrapped__") else cg._fn,
-                 in_shardings=in_shardings)
+    fn = jax.jit(cg.forward_fn, in_shardings=in_shardings)
     out = CompiledGraph(cg.graph, cg.options, fn, params, cg.input_ids, cg.output_ids)
     return out

@@ -190,12 +190,15 @@ PARAM_WRITERS = {
         {"power": 1.0, "scale": 1.0},
     ),
     # end_axis: the reference's flatten infer_shape iterates axis..end_axis
-    # literally (flatten.c:44-48), so a caffe-style -1 would flatten zero
-    # dims there; resolve it to the last 4-D axis on the wire.
+    # literally (flatten.c:44-48), so any caffe-style negative value (-1,
+    # -2, ...) would flatten zero dims there; normalize every negative
+    # end_axis onto the 4-D range on the wire (ADVICE r3 item 3).
     "Flatten": _w_fields(
         "ii", ["axis", "end_axis"], {"axis": 1},
         fixup=lambda p: {**p, "end_axis": 3}
-        if p.get("end_axis", -1) in (-1, None) else p,
+        if p.get("end_axis") is None
+        else ({**p, "end_axis": p["end_axis"] % 4}
+              if p["end_axis"] < 0 else p),
     ),
     "FullyConnected": _w_fields("i", ["num_output"]),
     "LRN": _w_lrn,

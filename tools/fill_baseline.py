@@ -61,20 +61,13 @@ def measure(model, scheme, batch):
     sync(cg(x))
     compile_s = time.perf_counter() - t0
 
-    def run_n(k):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(k):
-            o = cg(x)
-        sync(o)
-        return time.perf_counter() - t0
+    # One blessed measurement for every published table: bench.py's
+    # measure_device_ms (adaptive averaging window for sub-ms configs) —
+    # a private fixed-n copy here inherited the tunnel jitter the bench
+    # hardening removed (ADVICE r3 item 4, VERDICT r3 item 3).
+    from bench import measure_device_ms
 
-    n = 41
-    t1 = min(run_n(1) for _ in range(3))
-    tn = min(run_n(n) for _ in range(3))
-    ms = (tn - t1) / (n - 1) * 1e3
-    if ms <= 0:
-        ms = tn / n * 1e3
+    ms = measure_device_ms(lambda: cg(x), sync)
     return {"ms": ms, "img_s": batch / ms * 1e3, "compile_s": compile_s}
 
 
