@@ -61,14 +61,21 @@ def measure(model, scheme, batch):
     sync(cg(x))
     compile_s = time.perf_counter() - t0
 
-    # One blessed measurement for every published table: bench.py's
-    # measure_device_ms (adaptive averaging window for sub-ms configs) —
-    # a private fixed-n copy here inherited the tunnel jitter the bench
-    # hardening removed (ADVICE r3 item 4, VERDICT r3 item 3).
-    from bench import measure_device_ms
+    # One blessed measurement for every published table (ADVICE r3 item 4,
+    # VERDICT r3 item 3): batch-1 rows use the trace method (pure device
+    # module time +- sigma; see bench.measure_device_ms_trace docstring for
+    # why the slope method cannot measure sub-ms nets through the tunnel),
+    # throughput rows the pipelined slope method.
+    from bench import measure_b1_ms, measure_device_ms
 
-    ms = measure_device_ms(lambda: cg(x), sync)
-    return {"ms": ms, "img_s": batch / ms * 1e3, "compile_s": compile_s}
+    if batch == 1:
+        ms, sigma = measure_b1_ms(lambda: cg(x), sync)
+    else:
+        ms, sigma = measure_device_ms(lambda: cg(x), sync), None
+    r = {"ms": ms, "img_s": batch / ms * 1e3, "compile_s": compile_s}
+    if sigma is not None:
+        r["sigma_ms"] = sigma
+    return r
 
 
 def main():
