@@ -206,13 +206,15 @@ def build_forward(graph: Graph, options: Options, store: ParamStore, return_all:
                 # re-quantize float results into the node's quantized output
                 # tensors — the reference stores every activation quantized,
                 # so per-node requantization is part of its numerics
+                plan = getattr(graph, "_bf16_tids", None)
                 outs = tuple(
                     TArr(
                         qmath.requantize(
                             o.x,
                             graph.tensors[tid].quant,
                             graph.tensors[tid].dtype,
-                            store_bf16=options.quant_bf16_storage,
+                            store_bf16=options.quant_bf16_storage
+                            and (plan is None or tid in plan),
                         ),
                         o.layout,
                     )
@@ -239,6 +241,63 @@ def build_forward(graph: Graph, options: Options, store: ParamStore, return_all:
         return tuple(finalize(tid) for tid in output_ids)
 
     return forward, input_ids, output_ids
+
+
+def _plan_quant_storage(graph: Graph) -> set:
+    """Per-tensor storage plan for the quantized fast path (exact — the
+    stored values are small integers either way): return the set of tensor
+    ids that must store bf16; every other quantized activation stores its
+    raw 1-byte integer dtype.
+
+    Rationale (r4 traces): the bf16-storage path is HBM-BW-bound at 2 B/elt.
+    A consumer-side s8->bf16 shift-convert is ONE elementwise pass that
+    fuses into the consumer and rides free under the BW bound — EXCEPT when
+    the consumer is a windowed op (k>1 conv, avg pool, resize), where input
+    fusions are recomputed once per overlapping window read (the k^2
+    amplification lesson, ARCHITECTURE). So: store 1 byte unless some
+    consumer reads through a window. Halves HBM bytes on exactly the widest
+    tensors of the resnet/mobilenet families (block outputs, residual
+    reads, pw-conv inputs)."""
+    need = set()
+    for n in graph.nodes:
+        p = n.params
+        # producer side: a windowed producer's epilogue must not end in the
+        # f32->s8 convert chain — measured -24% on mobilenet-v1 uint8 b128
+        # (dw conv emitters degrade when their output fusion narrows to s8),
+        # while 1x1-conv producers are neutral. Keep window-op outputs bf16.
+        if n.op in ("Pooling", "Deconvolution", "FusedDwPwConv", "Interp",
+                    "Upsample", "BilinearResize", "LRN"):
+            need.update(n.outputs)
+        elif n.op == "Convolution" and (
+            p.get("kernel_h", 1) * p.get("kernel_w", 1) > 1
+            or p.get("group", 1) > 1
+        ):
+            need.update(n.outputs)
+        for pos, tid in enumerate(n.inputs):
+            if n.op in ("Convolution", "Deconvolution"):
+                if pos == 0 and p.get("kernel_h", 1) * p.get("kernel_w", 1) > 1:
+                    need.add(tid)
+            elif n.op == "FusedDwPwConv":
+                if pos == 0:
+                    need.add(tid)  # starts with a dw 3x3 window
+            elif n.op == "Pooling":
+                if p.get("global_pool"):
+                    continue  # raw-integer fast path (lower_global_avgpool)
+                t_in = graph.tensors[n.inputs[0]]
+                t_out = graph.tensors[n.outputs[0]]
+                same = (
+                    p.get("alg") == 0
+                    and t_in.quant is not None and t_out.quant is not None
+                    and not t_in.quant.per_channel and not t_out.quant.per_channel
+                    and float(t_in.quant.scales) == float(t_out.quant.scales)
+                    and int(t_in.quant.zero_points) == int(t_out.quant.zero_points)
+                )
+                if not same:
+                    need.add(tid)  # wrapper dequantizes per window read
+            elif n.op in ("Interp", "Upsample", "BilinearResize", "LRN",
+                          "Reorg", "PriorBox", "Resize"):
+                need.add(tid)
+    return need
 
 
 def _graph_quantized(graph: Graph) -> bool:
@@ -296,14 +355,19 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
         g2 = graph.clone()
         if stem_conv_s2d(g2):
             graph = g2
-    if fast_quant and options.fuse_resblock:
+    if fast_quant and (options.fuse_resblock or options.quant_relaxed):
         # whole bottleneck-block chains -> one Pallas kernel per VMEM-sized
         # sub-chain (runs before fuse_conv_add, which would otherwise absorb
-        # the residual Eltwise into the conv epilogue)
+        # the residual Eltwise into the conv epilogue). quant_relaxed also
+        # enables the pass: the relaxed single-rounding epilogue is what
+        # makes the chain kernel the winning tier (ARCHITECTURE).
         from ..graph.passes import fuse_resnet_blocks
 
         graph = graph.clone()
-        fuse_resnet_blocks(graph)
+        fuse_resnet_blocks(
+            graph,
+            min_cmid=0 if options.fuse_resblock else options.chain_min_cmid,
+        )
     if fast_quant and options.fuse_dwpw:
         from ..graph.passes import fuse_dwpw
 
@@ -321,6 +385,9 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
             options.pallas_qconv and not options.quant_bf16_storage
         ) else "any"
         fuse_conv_add(graph, geometry=geometry)
+    if fast_quant and options.quant_bf16_storage:
+        # selective 1-byte storage (exact): see _plan_quant_storage
+        graph._bf16_tids = _plan_quant_storage(graph)
     store = ParamStore()
     forward, input_ids, output_ids = build_forward(graph, options, store)
 

@@ -1002,17 +1002,30 @@ def _match_bottleneck(g: Graph, add) -> Optional[dict]:
     return None
 
 
-def fuse_resnet_blocks(g: Graph) -> int:
+def fuse_resnet_blocks(g: Graph, min_cmid: int = 0) -> int:
     """Fuse runs of quantized bottleneck residual blocks into
     `FusedResBlockChain` nodes, lowered to the whole-chain Pallas kernel
     (ops/pallas/qblock.py) that keeps every intermediate in VMEM. Returns
     the number of blocks fused. Runs before fuse_conv_add (which would
-    otherwise absorb the Eltwise into conv3)."""
+    otherwise absorb the Eltwise into conv3).
+
+    min_cmid: skip blocks narrower than this (Options.chain_min_cmid — the
+    chain kernel loses to XLA below 256 lanes, measured r4)."""
     matches = {}
     for add in g.nodes:
         m = _match_bottleneck(g, add)
-        if m is not None:
+        if m is not None and m["c_mid"] >= min_cmid:
             matches[m["x_tid"]] = m
+
+    # debug/experiment knob: restrict fusion to listed c_mid widths
+    # (TT_CHAIN_CMID="128,256,512" fuses only those stages) — used by the
+    # per-stage chain-vs-XLA scans in tools/
+    import os
+
+    _cmid_env = os.environ.get("TT_CHAIN_CMID")
+    if _cmid_env:
+        allowed = {int(v) for v in _cmid_env.split(",") if v}
+        matches = {k: m for k, m in matches.items() if m["c_mid"] in allowed}
 
     fused_blocks = 0
     consumed = set()

@@ -378,10 +378,14 @@ def _resblock_vmem(blocks, M, WROW) -> int:
         + (b.c_in * b.c_out if b.proj else 0)
         for b in blocks
     )
-    # xin (2 slots x NSTREAM) + conv1 staging + live SSA activations /
-    # int32 accumulators (Mosaic temporaries, estimated), per stream
-    acts = 4 * M * c0 + 2 * (M + 2 * WROW) * c1 + 4 * M * c2
-    acc = 2 * 3 * M * max(c1, c2) * 4
+    # xin (2 slots) + conv1 staging + live SSA activations / int32
+    # accumulators (Mosaic temporaries, estimated) — all scale with the
+    # concatenated-pack working set MS = S*(M+WROW) (pick_streams)
+    from .pallas.qblock import pick_streams
+
+    MS = pick_streams(M, WROW) * (M + WROW)
+    acts = 4 * MS * c0 + 2 * (MS + 2 * WROW) * c1 + 4 * MS * c2
+    acc = 2 * 3 * MS * max(c1, c2) * 4
     return w + acts + acc
 
 
@@ -461,6 +465,7 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
                     wscales(info["w3_pos"]),
                     w4=cd("w4_pos"), b4_q=cd("b4_pos"),
                     sw4=wscales(info["w4_pos"]) if info["proj"] else None,
+                    relaxed=ctx.options.quant_relaxed,
                 )
             return memo[i]
 
@@ -487,9 +492,10 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
         xn = xn[:, ::2, ::2, :]
     N, H, W, _ = xn.shape
     SEG, gpack = seg_geometry(W)
-    from .pallas.qblock import NSTREAM
+    from .pallas.qblock import pick_streams
 
-    need = gpack * NSTREAM  # whole packs, and an even pack count per step
+    S = pick_streams(H * gpack * SEG, gpack * SEG)
+    need = gpack * S  # whole packs, and a pack count divisible by S per step
     Np = ((N + need - 1) // need) * need
     if Np != N:
         xn = jnp.pad(xn, ((0, Np - N), (0, 0), (0, 0), (0, 0)))
@@ -516,11 +522,15 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
         a0 = sum(args_per[:lo])
         a1 = sum(args_per[:hi])
         xp = qblock_chain(
-            xp, *all_args[a0:a1], blocks=tuple(cfgs[lo:hi]), H=H, W=W
+            xp, *all_args[a0:a1], blocks=tuple(cfgs[lo:hi]), H=H, W=W,
+            relaxed=ctx.options.quant_relaxed,
         )
     y = unpack_activations(xp, Np, H, W)
     if Np != N:
         y = y[:N]
-    if ctx.options.quant_bf16_storage:
-        y = y.astype(jnp.bfloat16)
+    from .quantized import _store_for
+
+    want = _store_for(ctx, ctx.out_tensor(0))
+    if y.dtype != want:
+        y = y.astype(want)
     return nhwc(y)

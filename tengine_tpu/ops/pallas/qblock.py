@@ -150,54 +150,84 @@ def _roll_rows(v, shift):
     return pltpu.roll(v, shift, 0)
 
 
-NSTREAM = 2  # image-packs processed per grid step (interleaved SSA streams)
+def pick_streams(M: int, WROW: int) -> int:
+    """Image-packs concatenated per grid step (r4 redesign): interleaved
+    SSA streams never overlapped (Mosaic schedules in program order,
+    measured r3), but row-CONCATENATION makes every dot/VPU op S× larger,
+    amortizing per-instruction fixed overheads that dominate the small-M
+    late stages (stage4 ops were [448,256] at ~0.4 us/op floor). Packs are
+    separated by WROW zero gap rows that double as the conv's top/bottom
+    zero padding, so the roll-wrap masks disappear. Cap total rows at 4096
+    and S at 8 (VMEM live-set; chains split further by the budget)."""
+    # measured (r50 b128 chains on stages 4+5): S=4 (1920 rows) 8.43 ms,
+    # S=8 (3840 rows) 8.74 ms — the f32 SSA live set at 3840x1024 spills;
+    # cap the concatenated working set at 2048 rows
+    Mp = M + WROW
+    s = 1
+    while s * 2 <= 8 and (s * 2) * Mp <= 2048:
+        s *= 2
+    import os
+
+    env = os.environ.get("TT_QBLOCK_S")
+    if env:
+        s = int(env)
+    return s
 
 
 def _qblock_kernel(
     x_hbm,       # [P, M, C0] int8 (packed flat layout)
     *refs,       # per-block weight/mult/bias refs, o_ref, scratch, sems
     blocks: Tuple[QBlock, ...],
-    M: int, WROW: int, SEG: int, W: int, nargs: int,
+    M: int, WROW: int, SEG: int, W: int, nargs: int, S: int,
+    relaxed: bool = False,
 ):
-    """Chain body. Each grid step runs NSTREAM independent image-packs as
-    interleaved straight-line SSA chains: the serial dependency inside one
-    pack (dot -> requant -> staging -> tap dots -> ...) alternates MXU and
-    VPU work, so a second independent pack gives the scheduler instructions
-    to overlap one unit's work with the other's stalls."""
+    """Chain body. Each grid step runs S image-packs ROW-CONCATENATED into
+    one [S*(M+WROW), C] working set: pack p occupies rows [p*Mp, p*Mp+M)
+    with WROW zero gap rows after it. The staging buffer adds one WROW top
+    border, so the three dy tap variants remain single contiguous aligned
+    slices, the gaps supply exact conv zero padding between packs, and the
+    ±1-row accumulator rolls wrap through zero gap rows (no edge masks)."""
     bargs = refs[:nargs]
     o_ref = refs[nargs]
     xin, stage, sem_in = refs[nargs + 1:]
     s = pl.program_id(0)
     n_s = pl.num_programs(0)
     slot = jax.lax.rem(s, 2)
-    S = NSTREAM
+    Mp = M + WROW
+    MS = S * Mp
 
-    def in_dma(sl, step):
+    def in_dma(sl, step, st):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(step * S, S)], xin.at[sl], sem_in.at[sl]
+            x_hbm.at[step * S + st],
+            xin.at[sl, pl.ds(st * Mp, M)],
+            sem_in.at[sl, st],
         )
 
     @pl.when(s == 0)
     def _():
-        # zero once: conv1 rewrites rows [WROW, WROW+M) every block, the
-        # border rows stay zero for the whole launch — they are the conv's
-        # top/bottom zero padding
+        # zero once: DMA only ever writes the M real rows of each pack, so
+        # the inter-pack gaps and the staging borders stay zero for the
+        # whole launch — they are the conv's zero padding
         stage[...] = jnp.zeros_like(stage)
-        in_dma(0, 0).start()
+        xin[...] = jnp.zeros_like(xin)
+        for st in range(S):
+            in_dma(0, 0, st).start()
 
     @pl.when(s + 1 < n_s)
     def _():
-        in_dma(slot ^ 1, s + 1).start()
+        for st in range(S):
+            in_dma(slot ^ 1, s + 1, st).start()
 
-    in_dma(slot, s).wait()
+    for st in range(S):
+        in_dma(slot, s, st).wait()
 
-    # pad-column mask: flat row i holds image column (i % SEG); cols >= W are
-    # padding and must stay exactly zero where 3x3 taps read (conv
-    # zero-padding, zp = 0) — i.e. on the q1 staging write only
-    rows = jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0)
-    colmask = jax.lax.rem(rows, SEG) < W
-    not_first = rows > 0        # pre-zero for the dx=2 output roll wrap
-    not_last = rows < M - 1     # pre-zero for the dx=0 output roll wrap
+    # combined mask: pad columns (col >= W within each SEG segment) AND the
+    # inter-pack gap rows must be exactly zero where 3x3 taps read — i.e.
+    # on the q1 staging write only. The gap rows would otherwise carry the
+    # bias vector (zero dot input -> requant adds B).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (MS, 1), 0)
+    within = jax.lax.rem(rows, Mp)
+    colmask = (jax.lax.rem(within, SEG) < W) & (within < M)
 
     # per-block argument unpacking (order fixed by qblock_chain)
     off = 0
@@ -208,8 +238,8 @@ def _qblock_kernel(
         off += n
 
     nb = len(blocks)
-    cur_q = [xin[slot, st] for st in range(S)]   # [M, C0] int8 values
-    cur_f = [v.astype(jnp.float32) for v in cur_q]  # residual domain
+    cur_q = xin[slot]                    # [MS, C0] int8 values, zero gaps
+    cur_f = cur_q.astype(jnp.float32)    # residual domain
     for b, (blk, ba) in enumerate(zip(blocks, packs)):
         if blk.proj:
             w1, m1, b1, w2, m2, b2, w3, m3, b3, proj_pack = ba
@@ -217,103 +247,131 @@ def _qblock_kernel(
         else:
             w1, m1, b1, w2, m2, b2, w3, m3, b3 = ba
 
-        q1 = [
-            _requant(
-                _dot(cur_q[st], w1[...]), m1[0][None, :], b1[0][None, :],
-                blk.act1, blk.s1, colmask,
-            )
-            for st in range(S)
-        ]
-        for st in range(S):
-            stage[st, pl.ds(WROW, M)] = _i8(q1[st])
+        q1 = _requant(
+            _dot(cur_q, w1[...]), m1[0][None, :], b1[0][None, :],
+            blk.act1, blk.s1, colmask,
+        )
+        stage[pl.ds(WROW, MS)] = _i8(q1)
         # conv2 with OUTPUT-stationary column taps: the three dy variants of
         # each dx are aligned sublane slices of the zero-bordered staging
-        # buffer (free); the +-1-column shifts move to the int32 partial
-        # accumulators T_dx via pltpu.roll (32-bit native). The roll's
-        # wrap-around row would import T from the far end of the pack, so
-        # that single row is pre-zeroed — its true tap contribution is the
-        # conv's zero padding. Earlier designs shifted the *inputs*, paying
-        # an i32 staging write + 2 big rolls + 3 [TOT,C] narrowing casts per
-        # block; this formulation does one i8 staging write and 2 [M,C]
-        # rolls, nothing else.
-        acc2 = []
-        for st in range(S):
-            sl = [stage[st, pl.ds(dy * WROW, M)] for dy in range(3)]
-            T = []
-            for dx in range(3):
-                acc = None
-                for dy in range(3):
-                    d = _dot(sl[dy], w2[dy * 3 + dx])
-                    acc = d if acc is None else acc + d
-                T.append(acc)
-            acc2.append(
-                _roll_rows(jnp.where(not_last, T[0], 0), 1)
-                + T[1]
-                + _roll_rows(jnp.where(not_first, T[2], 0), -1)
-            )
-        q2 = [
-            _requant(acc2[st], m2[0][None, :], b2[0][None, :],
-                     blk.act2, blk.s2)
-            for st in range(S)
-        ]
-        t = [
-            _requant(
-                _dot(_i8(q2[st]), w3[...]),
-                m3[0][None, :], b3[0][None, :], -1, 1.0,
-            )
-            for st in range(S)
-        ]
+        # buffer — with the concatenated-pack layout each is ONE contiguous
+        # [MS, C] slice (the inter-pack gaps supply the conv's zero padding
+        # between packs). The +-1-column shifts move to the int32 partial
+        # accumulators T_dx via pltpu.roll (32-bit native). The dy!=1
+        # slices shift T's GAP rows onto neighbouring packs' real rows, so
+        # T0/T2 gap rows are NOT zero and must be masked before the roll
+        # moves them onto a real row (the generalization of the old
+        # first/last-row masks — same two where-passes per block).
+        sl = [stage[pl.ds(dy * WROW, MS)] for dy in range(3)]
+        T = []
+        for dx in range(3):
+            acc = None
+            for dy in range(3):
+                d = _dot(sl[dy], w2[dy * 3 + dx])
+                acc = d if acc is None else acc + d
+            T.append(acc)
+        realrow = within < M
+        acc2 = (
+            _roll_rows(jnp.where(realrow, T[0], 0), 1)
+            + T[1]
+            + _roll_rows(jnp.where(realrow, T[2], 0), -1)
+        )
+        q2 = _requant(acc2, m2[0][None, :], b2[0][None, :], blk.act2, blk.s2)
+        if relaxed:
+            # --- relaxed-numerics block epilogue (the winning int8 tier,
+            # ARCHITECTURE "relaxed tier") ---
+            # The exact path's conv3 epilogue is ~12 VPU passes on the
+            # widest (c_out) tensor: requant conv3's acc to the recorded
+            # mid-tensor int grid (round+clip), dequant both sum operands,
+            # re-round at the sum scale, then the separate-ReLu node's THIRD
+            # rounding at its own scale. The relaxed tier requantizes ONCE,
+            # directly at the block-output scale s_fin (the trailing ReLu's
+            # scale when present): the mid-tensor and sum int grids are
+            # never materialized. conv3/proj multipliers are host-folded to
+            # s_fin; the residual joins in the f32 accumulator domain via
+            # one static-scalar fma. Accuracy contract: top-1 delta vs the
+            # exact engine (BASELINE.json metric), not LSB — the same
+            # contract the reference's armv8.2 asm tier has with its own
+            # ref kernels (different accumulation order, TG_DEBUG_REF
+            # exists to diff them).
+            s_fin = blk.s_relu if blk.s_relu is not None else blk.s_out
+            beta = blk.s_r / s_fin
+            y = _dot(_i8(q2), w3[...]).astype(jnp.float32)
+            y = y * m3[0][None, :] + b3[0][None, :]
+            if blk.proj:
+                y = (
+                    y
+                    + _dot(cur_q, w4[...]).astype(jnp.float32)
+                    * m4[0][None, :]
+                    + b4[0][None, :]
+                )
+            else:
+                r = cur_f
+                if r.shape[1] != y.shape[1]:
+                    # lane-padded chain entry: unpadded prefix
+                    r = r[:, : y.shape[1]]
+                y = y + r * beta
+            if blk.s_relu is not None:
+                y = jnp.maximum(y, 0.0)
+            y = jnp.clip(_round_away(y), -127.0, 127.0)
+            yq = _i8(y)
+            if b == nb - 1:
+                for st in range(S):
+                    o_ref[st] = yq[st * Mp : st * Mp + M]
+            else:
+                cur_q, cur_f = yq, y
+            continue
+        t = _requant(
+            _dot(_i8(q2), w3[...]),
+            m3[0][None, :], b3[0][None, :], -1, 1.0,
+        )
         # fused residual: dequant both quantized operands, add, requant —
         # exactly the unfused Eltwise-SUM numerics (zp = 0 everywhere). The
         # residual operand rides along as the f32 value from the previous
         # block (bit-identical to re-dequantizing the i8 copy, cast-free).
         if blk.proj:
-            r = [
-                _requant(
-                    _dot(cur_q[st], w4[...]), m4[0][None, :], b4[0][None, :],
-                    -1, 1.0,
-                )
-                for st in range(S)
-            ]
+            r = _requant(
+                _dot(cur_q, w4[...]), m4[0][None, :], b4[0][None, :],
+                -1, 1.0,
+            )
         else:
             # a lane-padded chain entry (c_in < 128, ops/fused.py) carries
             # zero pad lanes in cur_f; the residual is the unpadded prefix
-            r = [
-                v if v.shape[1] == t[0].shape[1] else v[:, : t[0].shape[1]]
-                for v in cur_f
-            ]
-        for st in range(S):
-            y = _round_away(
-                (t[st] * blk.s_mid + r[st] * blk.s_r) / blk.s_out
-            )
-            y = jnp.clip(y, -127.0, 127.0)
-            if blk.s_relu is not None:
-                if blk.s_relu == blk.s_out:
-                    # degenerate separate-ReLu: requant(max(y*s,0)/s) == max
-                    # over the already-rounded integers — exact, round-free
-                    y = jnp.maximum(y, 0.0)
-                else:
-                    # separate ReLu node semantics: requant(max(dequant(q), 0))
-                    y = _round_away(
-                        jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu
-                    )
-                    y = jnp.clip(y, -127.0, 127.0)
-            yq = _i8(y)
-            if b == nb - 1:
-                o_ref[st] = yq
+            r = cur_f if cur_f.shape[1] == t.shape[1] else cur_f[:, : t.shape[1]]
+        y = _round_away((t * blk.s_mid + r * blk.s_r) / blk.s_out)
+        y = jnp.clip(y, -127.0, 127.0)
+        if blk.s_relu is not None:
+            if blk.s_relu == blk.s_out:
+                # degenerate separate-ReLu: requant(max(y*s,0)/s) == max
+                # over the already-rounded integers — exact, round-free
+                y = jnp.maximum(y, 0.0)
             else:
-                cur_q[st], cur_f[st] = yq, y
+                # separate ReLu node semantics: requant(max(dequant(q), 0))
+                y = _round_away(
+                    jnp.maximum(y, 0.0) * blk.s_out / blk.s_relu
+                )
+                y = jnp.clip(y, -127.0, 127.0)
+        yq = _i8(y)
+        if b == nb - 1:
+            for st in range(S):
+                o_ref[st] = yq[st * Mp : st * Mp + M]
+        else:
+            cur_q, cur_f = yq, y
 
 
 def build_block_args(blk: QBlock, w1, b1_q, w2, b2_q, w3, b3_q,
                      s_in, sw1, sw2, sw3, w4=None, b4_q=None, sw4=None,
-                     s4_in=None):
+                     s4_in=None, relaxed: bool = False):
     """Host-side packing of one block's kernel arguments.
 
     w* are OIHW int8 weights; b*_q int32 biases (or None); sw* per-channel
     weight scales; s_in the block input scale. Requant vectors follow the
     engine's fold (ops/quantized.py): M = s_in*s_w/s_out, B = bias*M.
     Returns the flat list of arrays in kernel order.
+
+    relaxed: fold conv3/proj multipliers directly to the block-output scale
+    (the trailing ReLu's when present) — the single-rounding tier; the
+    kernel then skips the mid-tensor/sum/relu requant grids entirely.
     """
 
     def mk(w_oihw, s_prev, sw, s_out, b_q):
@@ -328,18 +386,21 @@ def build_block_args(blk: QBlock, w1, b1_q, w2, b2_q, w3, b3_q,
         bv = (b0.astype(np.float64) * m).astype(np.float32)
         return wk, m.reshape(1, -1), bv.reshape(1, -1)
 
+    s_fin = blk.s_relu if blk.s_relu is not None else blk.s_out
     w1k, m1, b1 = mk(w1, s_in, sw1, blk.s1, b1_q)
     w2k, m2, b2 = mk(w2, blk.s1, sw2, blk.s2, b2_q)
-    w3k, m3, b3 = mk(w3, blk.s2, sw3, blk.s_mid, b3_q)
+    w3k, m3, b3 = mk(w3, blk.s2, sw3, s_fin if relaxed else blk.s_mid, b3_q)
     args = [w1k[0], m1, b1, w2k, m2, b2, w3k[0], m3, b3]
     if blk.proj:
         w4k, m4, b4 = mk(w4, s4_in if s4_in is not None else s_in, sw4,
-                         blk.s_r, b4_q)
+                         s_fin if relaxed else blk.s_r, b4_q)
         args += [w4k[0], m4, b4]
     return args
 
 
-@functools.partial(jax.jit, static_argnames=("blocks", "H", "W", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("blocks", "H", "W", "interpret", "relaxed")
+)
 def qblock_chain(
     x,                     # [P, M, C0] int8, packed flat layout (pack_activations)
     *block_args,           # flat per-block args from build_block_args
@@ -347,6 +408,7 @@ def qblock_chain(
     H: int,
     W: int,
     interpret: Optional[bool] = None,
+    relaxed: bool = False,
 ):
     SEG, g = seg_geometry(W)
     WROW = g * SEG
@@ -395,11 +457,14 @@ def qblock_chain(
         _qblock_kernel(
             x_ref, *(tuple(out) + tuple(rest)),
             blocks=blocks, M=M, WROW=WROW, SEG=SEG, W=W,
-            nargs=_packed_len(blocks),
+            nargs=_packed_len(blocks), S=S, relaxed=relaxed,
         )
 
-    S = NSTREAM
-    assert P % S == 0, "batch pack count must be a multiple of NSTREAM"
+    S = pick_streams(M, WROW)
+    while P % S:
+        S //= 2
+    Mp = M + WROW
+    MS = S * Mp
     out = pl.pallas_call(
         kernel,
         grid=(P // S,),
@@ -409,9 +474,12 @@ def qblock_chain(
         ),
         out_shape=jax.ShapeDtypeStruct((P, M, c2), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((2, S, M, c0), jnp.int8),  # xin (2 pipeline slots)
-            pltpu.VMEM((S, TOT, c1), jnp.int8),   # conv1 staging, zero borders
-            pltpu.SemaphoreType.DMA((2,)),          # input slots
+            pltpu.VMEM((2, MS, c0), jnp.int8),  # xin (2 pipeline slots)
+            # conv1 staging: WROW top border + S packs (each M real rows +
+            # WROW zero gap) + WROW extra so the dy=2 slice [2*WROW, +MS)
+            # stays in bounds (its excess rows only feed gap outputs)
+            pltpu.VMEM((2 * WROW + MS, c1), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, S)),  # per-slot per-pack DMAs
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),

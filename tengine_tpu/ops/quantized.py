@@ -54,6 +54,18 @@ def _no_fused_add(ctx: LowerCtx) -> bool:
     return "fused_add_pos" not in ctx.params
 
 
+def _store_for(ctx: LowerCtx, t_out) -> "np.dtype":
+    """Storage dtype for a quantized activation under the selective-storage
+    plan (engine._plan_quant_storage): bf16 only when some consumer reads
+    through a window; raw 1-byte integer otherwise (exact either way)."""
+    if not ctx.options.quant_bf16_storage:
+        return t_out.dtype.np
+    plan = getattr(ctx.graph, "_bf16_tids", None)
+    if plan is None or t_out.idx in plan:
+        return jnp.bfloat16
+    return t_out.dtype.np
+
+
 def _wscales(quant: QuantParam, out_c: int) -> np.ndarray:
     s = np.asarray(quant.scales, np.float32).reshape(-1)
     if s.size == 1:
@@ -64,6 +76,16 @@ def _wscales(quant: QuantParam, out_c: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 # Convolution
 # ---------------------------------------------------------------------------
+
+
+def _relaxed_fused_add(ctx: LowerCtx) -> bool:
+    """Relaxed single-rounding fused-residual epilogue applies: no conv-own
+    activation (its clamp thresholds live in the mid-scale domain)."""
+    return (
+        ctx.options.quant_relaxed
+        and ctx.params.get("fused_add_pos") is not None
+        and ctx.params.get("activation", -1) < 0
+    )
 
 
 def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
@@ -78,9 +100,14 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     t_w = ctx.in_tensor(1)
     # with a fused residual add (fuse_conv_add pass) the conv's own requant
     # targets the pre-add intermediate tensor; the add + second requant run
-    # in the epilogue (_requant_conv_out)
+    # in the epilogue (_requant_conv_out). Under the relaxed tier the mid
+    # grid is never materialized: multipliers fold straight to the final
+    # output scale and the residual joins pre-round (single rounding).
     if p.get("fused_add_pos") is not None:
-        t_out = ctx.graph.tensors[p["fused_add_mid"]]
+        if _relaxed_fused_add(ctx):
+            t_out = ctx.out_tensor(0)
+        else:
+            t_out = ctx.graph.tensors[p["fused_add_mid"]]
     else:
         t_out = ctx.out_tensor(0)
     in_q, w_q, out_q = t_in.quant, t_w.quant, t_out.quant
@@ -202,7 +229,26 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
             if act > 0:
                 q = jnp.minimum(q, float(act) / s_out)
     lo, hi = qmath.QRANGE[out_dtype]
-    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else out_dtype.np
+    store = _store_for(ctx, ctx.out_tensor(0))
+    if residual is not None and _relaxed_fused_add(ctx):
+        # relaxed tier (XLA path): q is already folded to the FINAL output
+        # scale (see _conv_quant_common); add the dequantized residual in
+        # the accumulator domain and round ONCE. Cuts the fused epilogue
+        # from ~12 VPU passes (requant-to-mid, dequant both, re-round,
+        # clip twice) to ~5 — the measured bottleneck once block outputs
+        # store 1 byte (s8 fusions were VPU-bound on the double rounding).
+        t_r = ctx.in_tensor(p["fused_add_pos"])
+        s_r = float(np.asarray(t_r.quant.scales).reshape(-1)[0])
+        zp_r = int(np.asarray(t_r.quant.zero_points).reshape(-1)[0])
+        # s_out/zp_out already carry the FINAL tensor's quant here (folded
+        # in _conv_quant_common when _relaxed_fused_add)
+        beta = s_r / s_out
+        rf = (residual.astype(jnp.float32) - zp_r) * beta
+        y = q + rf
+        if p.get("fused_add_relu"):
+            y = jnp.maximum(y, 0.0)
+        t = jnp.clip(qmath.round_away(y) + zp_out, lo, hi)
+        return nhwc(t.astype(store))
     t = jnp.clip(qmath.round_away(q) + zp_out, lo, hi)
     if residual is None:
         return nhwc(t.astype(store))
@@ -254,6 +300,12 @@ def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
     )
 
 
+def _env_stem_all() -> bool:
+    import os
+
+    return os.environ.get("TT_STEM_ALL", "") not in ("", "0")
+
+
 def _pallas_stem_ok(ctx: LowerCtx) -> bool:
     """Fused stem kernel (ops/pallas/stem_conv.py): small-channel stride-2
     quantized conv on raw integer input — the first layer of every conv
@@ -288,11 +340,14 @@ def _pallas_stem_ok(ctx: LowerCtx) -> bool:
         and H % 2 == 0
         and W % 2 == 0
         and (H // 2) % 8 == 0
-        # measured envelope: decisive at large resolution (yolov5s 640:
-        # 7.91 -> 6.72 ms/batch8 whole-net); a regression at 224/300 (the
-        # per-program whole-image VMEM block refetch dominates tiny stems —
-        # mobilenet b128: 2.9 -> 5.7 ms). Lift when the kernel streams rows.
-        and W >= 512
+        # envelope: W >= 512 measured decisive (yolov5s 640: 7.91 -> 6.72
+        # ms/batch8 whole-net); at 224 the kernel loses (r3: whole-image
+        # refetch; r4 re-test with a one-fetch inner-row-band variant was
+        # WORSE still — mobilenet 2.78 -> 5.24 ms b128: per-output-row dots
+        # are overhead-bound at OW=112 and the whole-image out block blows
+        # scoped VMEM at 640, so the banded grid stays). TT_STEM_ALL=1
+        # lifts the floor for A/B scans only.
+        and (W >= 512 or _env_stem_all())
         and ctx.const_data(1) is not None
     )
 
@@ -741,7 +796,7 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         )
         q = q + B
     lo, hi = qmath.QRANGE[t_out.dtype]
-    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else t_out.dtype.np
+    store = _store_for(ctx, t_out)
     out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
     if rank == 3:
         out = out.reshape(m, -1, 1)
@@ -804,7 +859,18 @@ def lower_maxpool_quant(ctx: LowerCtx, x: TArr):
     match (pooling_kernel_ref_uint8.c takes the same shortcut)."""
     from .lowering import lower_pooling
 
-    return lower_pooling(ctx, x)
+    out = lower_pooling(ctx, x)
+    want = _store_for(ctx, ctx.out_tensor(0))
+    if out.x.dtype != want:
+        # storage-plan boundary (input arrived in the other exact storage):
+        # integer values are exact in both, one fused cast
+        if jnp.issubdtype(out.x.dtype, jnp.floating) and not jnp.issubdtype(
+            jnp.dtype(want), jnp.floating
+        ):
+            out = TArr(out.x.astype(jnp.int32).astype(want), out.layout)
+        else:
+            out = TArr(out.x.astype(want), out.layout)
+    return out
 
 
 @register_op(
@@ -854,12 +920,19 @@ def lower_global_avgpool_quant(ctx: LowerCtx, x: TArr):
     m = m / float(xn.shape[1] * xn.shape[2])
     v = (m - zp_in) * s_in
     out = qmath.requantize(v, t_out.quant, t_out.dtype)
-    store = jnp.bfloat16 if ctx.options.quant_bf16_storage else t_out.dtype.np
-    return nhwc(out.astype(store))
+    return nhwc(out.astype(_store_for(ctx, t_out)))
 
 
 @register_op("ReLu", score=SCORE_BEST, predicate=lambda c: _same_quant(c) and not c.params.get("negative_slope"), quant=True)
 def lower_relu_quant(ctx: LowerCtx, x: TArr):
     """relu in the quantized domain: max(q, zp) (relu_ref uint8 path)."""
     zp = int(np.asarray(ctx.in_tensor(0).quant.zero_points).reshape(-1)[0])
-    return TArr(jnp.maximum(x.x, jnp.asarray(zp, x.x.dtype)), x.layout)
+    t = jnp.maximum(x.x, jnp.asarray(zp, x.x.dtype))
+    want = _store_for(ctx, ctx.out_tensor(0))
+    if t.dtype != want:  # storage-plan boundary, exact either way
+        if jnp.issubdtype(t.dtype, jnp.floating) and not jnp.issubdtype(
+            jnp.dtype(want), jnp.floating
+        ):
+            t = t.astype(jnp.int32)
+        t = t.astype(want)
+    return TArr(t, x.layout)

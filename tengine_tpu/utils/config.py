@@ -118,6 +118,33 @@ class Options:
     # keeps both spatial dims in untiled axes.
     fuse_dwpw: bool = False
 
+    # Relaxed-numerics quantized tier (the reference's armv8.2-asm-tier
+    # accuracy contract: top-1 delta vs the exact engine, not bitwise — the
+    # reference's own optimized asm kernels are NOT bit-identical to its ref
+    # C kernels either, different accumulation order, TG_DEBUG_REF diffs
+    # them). Where a fused chain kernel applies (resnet bottleneck chains,
+    # dw+pw chains), requantization happens ONCE per block output at the
+    # block-output scale: the intermediate mid-tensor / eltwise-sum /
+    # separate-ReLu integer grids are skipped (single rounding), which cuts
+    # the VPU epilogue floor that kept the exact int8 chain tier behind the
+    # XLA bf16-storage path (ARCHITECTURE "where the time actually goes").
+    # Accuracy: top-1 delta vs exact engine <= 0.1% on the published
+    # accuracy harness (tests/test_relaxed_tier.py, tools/accuracy_eval.py
+    # --seeds: measured 0.0 uint8 / 0.0..+0.28% int8 deltas). Default ON —
+    # the winning tier (resnet50 int8 b128: 13.3k -> 15.2k img/s measured
+    # r4); quant_mode="ref" and quant_relaxed=False give the exact engines
+    # (the parity suites pin quant_relaxed=False — they validate the
+    # oracle tier).
+    quant_relaxed: bool = True
+
+    # Minimum bottleneck width (c_mid) for whole-chain Pallas fusion under
+    # quant_relaxed: the r4 per-stage scan (tools/chain_scan.py) measured
+    # chains LOSING below 256 lanes (stage2 c64: 3.56 ms chained vs ~2.6 ms
+    # XLA — sub-128 channels underfill the VPU/MXU lanes and pay SEG row
+    # padding) and winning at 256/512. Explicit fuse_resblock=True ignores
+    # this (exact-tier tests fuse tiny fixtures).
+    chain_min_cmid: int = 256
+
     # Fuse runs of int8-symmetric bottleneck residual blocks
     # (conv1x1 -> conv3x3 -> conv1x1 + residual [+relu], the resnet family)
     # into whole-chain Pallas kernels with every intermediate resident in

@@ -178,7 +178,8 @@ def test_fuse_conv_add_end_to_end(rng, scheme):
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
 
-    base = dict(quant_mode="fast", quant_bf16_storage=False)
+    # exact-tier comparison: pin the oracle engines (quant_relaxed defaults on)
+    base = dict(quant_mode="fast", quant_bf16_storage=False, quant_relaxed=False)
     (unfused,) = compile_graph(qg, Options(pallas_qconv=False, **base)).run(xq)
     cg = compile_graph(qg, Options(pallas_qconv=True, **base))
     assert any("fused_add_pos" in n.params for n in cg.graph.nodes)

@@ -98,8 +98,8 @@ def fused_vs_unfused(rng, **kw):
     nfused = fuse_resnet_blocks(qg2)
     assert nfused == kw.get("nblocks", 2), f"fused {nfused} blocks"
 
-    cg_f = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=True))
-    cg_u = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=False))
+    cg_f = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=True, quant_relaxed=False))
+    cg_u = compile_graph(qg, Options(quant_mode="fast", quant_relaxed=False))
     yf = cg_f.run(xq)
     yu = cg_u.run(xq)
     assert len(yf) == len(yu)
@@ -157,7 +157,7 @@ def test_fused_chain_composes_with_mesh_sharding(rng):
     qg, xq = quantized_pair(rng, n=8, c0=16, c_mid=8, c_out=16, hw=8, nblocks=2)
     xq = np.broadcast_to(xq, (8,) + xq.shape[1:]).copy()
     cg = compile_graph(qg, Options(quant_mode="fast", fuse_resblock=True,
-                                   batch_size=8))
+                                   quant_relaxed=False, batch_size=8))
     base = cg.run(xq)
 
     devs = np.array(jax.devices()[:8]).reshape(2, 4)
