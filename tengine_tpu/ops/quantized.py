@@ -155,11 +155,31 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
             .astype(jnp.bfloat16),
             tag="hwio_zshift_bf16",
         )
-        if zp_in == 0 and xn.dtype == jnp.bfloat16:
+        is_dw = group == out_c and int(t_w.shape[1]) == 1 and group > 1
+        dw_zp_fold = is_dw and zp_in != 0
+        if dw_zp_fold:
+            # Depthwise uint8: do NOT subtract the input zero-point — the
+            # subtract fuses into the dw conv's WINDOW read and is
+            # recomputed k^2 times (the v3 uint8-vs-int8 residue, VERDICT
+            # r4 item 4; int8 has zp=0 and pays nothing). Instead feed the
+            # RAW values, pad explicitly with zp (the conv's zero in the
+            # shifted domain), and fold the exact constant correction
+            #   acc_true = acc_raw - zp_in * colsum(w - zp_w)[c]
+            # into the requant bias (_requant_conv_out). All quantities
+            # are integers < 2^24: exact.
+            xs = xn if xn.dtype == jnp.bfloat16 else xn.astype(jnp.bfloat16)
+            (pt, pb), (pl_, pr) = pads
+            if pt or pb or pl_ or pr:
+                xs = jnp.pad(
+                    xs, ((0, 0), (pt, pb), (pl_, pr), (0, 0)),
+                    constant_values=float(zp_in),
+                )
+            pads = ((0, 0), (0, 0))
+        elif zp_in == 0 and xn.dtype == jnp.bfloat16:
             xs = xn  # already exact bf16 integers
         else:
             xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
-        if group == out_c and int(t_w.shape[1]) == 1 and group > 1:
+        if is_dw:
             # depthwise + elementwise-producer input: block input-prologue
             # fusion — ops fused into the conv's input are recomputed once
             # per overlapping window read (k^2 amplification under the
@@ -186,7 +206,22 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
             preferred_element_type=jnp.float32,
         )
 
-    return acc, (s_in, w_scales, out_q, t_out.dtype, p)
+        if dw_zp_fold:
+            # host-folded constant: -zp_in * colsum(w - zp_w) per channel,
+            # pre-multiplied by the requant multiplier so the epilogue adds
+            # one vector (see dw_zp_fold comment above)
+            s_out_f = float(np.asarray(out_q.scales).reshape(-1)[0])
+
+            def _corr():
+                w_raw = ctx.const_data(1).astype(np.int64)  # [C, 1, k, k]
+                colsum = (w_raw - zp_w).sum(axis=(1, 2, 3))
+                m = s_in * w_scales.astype(np.float64) / s_out_f
+                return (-zp_in * colsum * m).astype(np.float32)
+
+            dw_corr = ctx.get_param("dwzp_bm", _corr)
+            return acc, (s_in, w_scales, out_q, t_out.dtype, p, dw_corr)
+
+    return acc, (s_in, w_scales, out_q, t_out.dtype, p, None)
 
 
 def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
@@ -195,7 +230,7 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
     (fuse_conv_add pass) the full unfused chain — requant to the mid tensor,
     dequant both operands, add, requant to the out tensor, optional trailing
     relu — runs here bit-exactly, all inside the conv's XLA output fusion."""
-    s_in, w_scales, out_q, out_dtype, p = pack
+    s_in, w_scales, out_q, out_dtype, p, dw_corr = pack
     s_out = float(np.asarray(out_q.scales).reshape(-1)[0])
     zp_out = int(np.asarray(out_q.zero_points).reshape(-1)[0])
 
@@ -215,6 +250,10 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
         q = acc * M + B
     else:
         q = acc * M
+    if dw_corr is not None:
+        # depthwise zero-point fold (see _conv_quant_common): one vector add
+        # replaces the k^2-recomputed input-side subtract
+        q = q + dw_corr
 
     act = p.get("activation", -1)
     if act is not None and act >= 0:

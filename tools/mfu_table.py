@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Per-net MFU / roofline table (VERDICT r3 item 5): a standing, regenerable
+artifact that converts "we believe it's BW-bound" into numbers.
+
+For each benchmark config: compile with Options() defaults, capture an XLA
+device trace, and report
+  * device ms/iter  — median "XLA Modules" execution time (the blessed
+    measurement, bench.measure_device_ms_trace);
+  * GOP             — XLA's own flop count for the compiled program;
+  * achieved TOP/s  — GOP / device time;
+  * % of MXU roofline — against the self-measured v5e rates
+    (int8 dot ~400 TOP/s, bf16 ~195 TFLOP/s through Mosaic,
+    ARCHITECTURE "where the time actually goes");
+  * op-class split  — % of summed op self-time in MXU-ish ops
+    (convolution/dot/custom-call kernels), copies/layout, and everything
+    else (fusions: VPU epilogues + loads fused into them).
+
+Usage: python tools/mfu_table.py [--out MFU.md] [models...]
+"""
+
+import argparse
+import glob
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# self-measured v5e peaks through Mosaic (ARCHITECTURE round-3 findings)
+PEAK_INT8_TOPS = 400.0
+PEAK_BF16_TFLOPS = 195.0
+
+CONFIGS = [
+    ("mobilenetv1", "uint8", 128),
+    ("mobilenetv2", "uint8", 128),
+    ("mobilenetv3", "uint8", 128),
+    ("resnet50", "int8", 128),
+    ("squeezenet_v1.1", "uint8", 128),
+    ("mobilefacenets", "uint8", 128),
+]
+
+
+def classify(name: str) -> str:
+    n = name.lower()
+    if "qblock" in n or "custom-call" in n or "stem" in n:
+        return "pallas"
+    if "convolution" in n or ("dot" in n and "fusion" not in n):
+        return "mxu"
+    if "copy" in n or "slice" in n or "bitcast" in n or "transpose" in n:
+        return "copy"
+    if "fusion" in n:
+        return "fusion"
+    return "other"
+
+
+def measure(model, scheme, batch, iters=50):
+    import jax
+    import tengine_tpu as tt
+    from tengine_tpu.models.zoo import load_benchmark_model
+    from tengine_tpu.ops import qmath
+    from tengine_tpu.quantize.quantizer import quantize_graph
+    from tengine_tpu.utils.config import Options
+    from tpu_trace import parse_xplane
+
+    rng = np.random.default_rng(0)
+    g = load_benchmark_model(model, fill_missing_weights="random")
+    shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
+    calib = [rng.standard_normal(shape).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme=scheme, algorithm="minmax")
+    t_in = qg.tensors[qg.input_tensors[0]]
+    shape[0] = batch
+    xq = jax.device_put(
+        qmath.quantize_np(np.broadcast_to(calib[0], shape), t_in.quant, t_in.dtype)
+    )
+    cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
+    flops = cg.cost_analysis().get("flops", 0.0)
+
+    def sync(o):
+        a = o[0]
+        return float(np.asarray(a[(0,) * a.ndim]))
+
+    for _ in range(3):
+        sync(cg(xq))
+    d = tempfile.mkdtemp(prefix="mfu")
+    o = None
+    with jax.profiler.trace(d):
+        for _ in range(iters):
+            o = cg(xq)
+        sync(o)
+    p = glob.glob(os.path.join(d, "**", "*.xplane.pb"), recursive=True)[0]
+    rows = parse_xplane(p)
+    module_ps = [r for r in rows if r[0].startswith("jit_")]
+    mod_ms = module_ps[0][1] / 1e9 / module_ps[0][2] if module_ps else None
+    cls = {}
+    for name, dur, cnt in rows:
+        if name.startswith("jit_"):
+            continue
+        c = classify(name)
+        cls[c] = cls.get(c, 0) + dur
+    tot = sum(cls.values()) or 1
+    split = {k: 100.0 * v / tot for k, v in sorted(cls.items(), key=lambda t: -t[1])}
+
+    gop = flops / 1e9
+    tops = gop / (mod_ms / 1e3) / 1e3 if mod_ms else 0.0  # TOP/s
+    peak = PEAK_INT8_TOPS if scheme == "int8" else PEAK_BF16_TFLOPS
+    # the default path computes on the MXU in bf16 for uint8 (exact shifted
+    # integers) and int8 for symmetric chains; report both references
+    return {
+        "model": model, "scheme": scheme, "batch": batch,
+        "ms": mod_ms, "img_s": batch / mod_ms * 1e3 if mod_ms else 0,
+        "gop": gop / batch,
+        "tops": tops,
+        "pct_bf16": 100.0 * tops / PEAK_BF16_TFLOPS,
+        "pct_int8": 100.0 * tops / PEAK_INT8_TOPS,
+        "split": split,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("models", nargs="*", default=None)
+    args = ap.parse_args()
+
+    rows = []
+    for model, scheme, batch in CONFIGS:
+        if args.models and model not in args.models:
+            continue
+        try:
+            r = measure(model, scheme, batch)
+            rows.append(r)
+            print(f"{model} {scheme}: {r['ms']:.3f} ms, {r['img_s']:.0f} img/s, "
+                  f"{r['tops']:.1f} TOP/s ({r['pct_bf16']:.0f}% bf16 / "
+                  f"{r['pct_int8']:.0f}% int8 roofline)  split={ {k: round(v) for k, v in r['split'].items()} }",
+                  flush=True)
+        except Exception as e:
+            print(f"{model} {scheme}: FAILED {e}", flush=True)
+
+    lines = [
+        "# MFU / roofline table (regenerated by tools/mfu_table.py)",
+        "",
+        "Device time = XLA-trace module median (blessed method). Roofline",
+        "references are the self-measured v5e Mosaic rates: int8 dot ~400",
+        "TOP/s, bf16 ~195 TFLOP/s. 'split' buckets summed op self-time:",
+        "mxu = bare convolution/dot ops, pallas = custom-call kernels,",
+        "copy = layout/copy ops, fusion = everything XLA fused (the conv",
+        "fusions themselves land here — their time includes MXU work, so",
+        "the split is an upper bound on overhead, not an exact unit usage).",
+        "",
+        "| net | scheme | b | ms/iter | img/s | GOP/img | TOP/s | %bf16 peak | %int8 peak | split |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        split = " ".join(f"{k}:{v:.0f}%" for k, v in r["split"].items())
+        lines.append(
+            f"| {r['model']} | {r['scheme']} | {r['batch']} | {r['ms']:.3f} | "
+            f"{r['img_s']:.0f} | {r['gop']:.2f} | {r['tops']:.1f} | "
+            f"{r['pct_bf16']:.0f}% | {r['pct_int8']:.0f}% | {split} |"
+        )
+    text = "\n".join(lines) + "\n"
+    print(text)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+
+
+if __name__ == "__main__":
+    main()
