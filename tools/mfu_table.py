@@ -44,6 +44,10 @@ CONFIGS = [
 
 def classify(name: str) -> str:
     n = name.lower()
+    if "-start" in n or "-done" in n:
+        # async DMA (weight prefetch etc.) — overlapped with compute, its
+        # "self time" spans the wait and would swamp the split
+        return "async-dma"
     if "qblock" in n or "custom-call" in n or "stem" in n:
         return "pallas"
     if "convolution" in n or ("dot" in n and "fusion" not in n):
@@ -98,6 +102,8 @@ def measure(model, scheme, batch, iters=50):
         if name.startswith("jit_"):
             continue
         c = classify(name)
+        if c == "async-dma":
+            continue
         cls[c] = cls.get(c, 0) + dur
     tot = sum(cls.values()) or 1
     split = {k: 100.0 * v / tot for k, v in sorted(cls.items(), key=lambda t: -t[1])}
