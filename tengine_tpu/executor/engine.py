@@ -19,6 +19,7 @@ There is no per-node dispatch at runtime.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -310,6 +311,56 @@ def _plan_quant_storage(graph: Graph) -> set:
     return need
 
 
+def _native_profitable(graph: Graph) -> bool:
+    """Per-graph gate for the native-int8 plan, from the r4 A/B sweep of
+    every benchmark family on v5e (b128, default options, native vs legacy
+    bf16-storage):
+
+        resnet50 +15%, resnet18 +17%, vgg16 +37%, googlenet +23%   (native)
+        squeezenet -8%, inceptionv3 -5%, yolov5s -8%,
+        mobilenet v1 -24% / v3 -63%, all dw families             (legacy)
+
+    Two measured failure modes: (a) XLA's s8 depthwise window emitters run
+    3-10x off the byte roofline and their layout choices poison the whole
+    program; (b) small-channel convs (min(c_in, c_out) < 64) pay the s8
+    (4,1) packed-tile overhead without filling the int8 MXU. The separating
+    statistic is the fraction of conv output ELEMENTS produced by
+    small-channel convs (stems with c_in <= 4 excluded — they run the
+    bf16/Pallas-stem path either way): winners measure 0.00-0.11, losers
+    0.31-0.78; gate at < 0.2. Needs shapes: falls back to legacy (never
+    wrongly native) when shape inference is unavailable."""
+    convs = [n for n in graph.nodes if n.op == "Convolution"]
+    if any(n.params.get("group", 1) > 1 for n in convs):
+        return False  # depthwise family
+    if any(
+        not graph.tensors[n.outputs[0]].shape
+        or len(graph.tensors[n.outputs[0]].shape) < 4
+        for n in convs
+    ):
+        try:  # one abstract trace fills the IR shapes (no compile)
+            infer_shapes(graph)
+        except Exception:
+            return False  # cannot judge; take the safe path
+    small = tot = 0
+    for n in convs:
+        if len(n.inputs) < 2:
+            continue
+        tw = graph.tensors[n.inputs[1]]
+        t_out = graph.tensors[n.outputs[0]]
+        if not t_out.shape or len(t_out.shape) < 4:
+            return False
+        out_c, in_c = int(tw.shape[0]), int(tw.shape[1])
+        if in_c <= 4:
+            continue
+        elts = 1
+        for d in t_out.shape[1:]:
+            elts *= int(d)
+        tot += elts
+        if min(in_c, out_c) < 64:
+            small += elts
+    return tot > 0 and small / tot < 0.2
+
+
 def _graph_quantized(graph: Graph) -> bool:
     cached = getattr(graph, "_is_quantized", None)
     if cached is None:
@@ -365,12 +416,25 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
         g2 = graph.clone()
         if stem_conv_s2d(g2):
             graph = g2
-    if fast_quant and (options.fuse_resblock or options.quant_relaxed):
+    native_int8 = (
+        fast_quant
+        and options.quant_native != "off"
+        and (options.quant_native == "on" or options.quant_relaxed)
+        and os.environ.get("TT_NATIVE_INT", "1") not in ("0", "off")
+        and (options.quant_native == "on" or _native_profitable(graph))
+    )
+    if fast_quant and (
+        options.fuse_resblock or (options.quant_relaxed and not native_int8)
+    ):
         # whole bottleneck-block chains -> one Pallas kernel per VMEM-sized
         # sub-chain (runs before fuse_conv_add, which would otherwise absorb
         # the residual Eltwise into the conv epilogue). quant_relaxed also
-        # enables the pass: the relaxed single-rounding epilogue is what
-        # makes the chain kernel the winning tier (ARCHITECTURE).
+        # enables the pass on the legacy path: the relaxed single-rounding
+        # epilogue is what made the chain kernel beat the bf16-storage XLA
+        # tier. Under the native-int8 plan the chain kernels LOSE to XLA's
+        # own s8 convs (r50 int8 b128: 8.8 ms with chains vs 8.0 without,
+        # measured r4 — the VPU-serial chain body cannot overlap DMA/MXU
+        # the way XLA's s8 fusions do), so only fuse_resblock forces them.
         from ..graph.passes import fuse_resnet_blocks
 
         graph = graph.clone()
@@ -394,8 +458,19 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
         geometry = "pallas" if (
             options.pallas_qconv and not options.quant_bf16_storage
         ) else "any"
-        fuse_conv_add(graph, geometry=geometry)
-    if fast_quant and options.quant_bf16_storage:
+        fuse_conv_add(
+            graph, geometry=geometry, relaxed_relu=options.quant_relaxed
+        )
+    if native_int8:
+        # native-int8 plan: 1-byte activation storage everywhere, convs/FCs
+        # consume raw s8 on the int8 MXU (Options.quant_native; uint8 graphs
+        # are shift-rewritten by to_native_int8 — relaxed-tier contract)
+        from ..graph.passes import to_native_int8
+
+        graph = graph.clone()
+        to_native_int8(graph)
+        graph._bf16_tids = set()
+    elif fast_quant and options.quant_bf16_storage:
         # selective 1-byte storage (exact): see _plan_quant_storage
         graph._bf16_tids = _plan_quant_storage(graph)
     store = ParamStore()

@@ -77,6 +77,11 @@ class QuantParam:
     scales: np.ndarray  # shape () for per-tensor, (C,) for per-channel
     zero_points: np.ndarray  # int32, same shape as scales
     width: int = 8
+    # INT8 tensors that hold a zero-point-shifted UINT8 grid (the native-int8
+    # storage pass, graph/passes.py:to_native_int8) span the full [-128, 127]
+    # range; the reference's symmetric int8 scheme clips to [-127, 127]
+    # (conv_kernel_ref_int8.c). Kernels consult qmath.qrange(dtype, quant).
+    full_range: bool = False
 
     @property
     def per_channel(self) -> bool:
@@ -284,7 +289,10 @@ class Graph:
         for t in self.tensors:
             q = None
             if t.quant is not None:
-                q = QuantParam(t.quant.scales, t.quant.zero_points, t.quant.width)
+                q = QuantParam(
+                    t.quant.scales, t.quant.zero_points, t.quant.width,
+                    t.quant.full_range,
+                )
             g.tensors.append(
                 Tensor(
                     idx=t.idx, name=t.name, dtype=t.dtype, shape=list(t.shape),

@@ -15,7 +15,7 @@ from typing import Dict, List, Optional, Set
 
 import numpy as np
 
-from .ir import DType, Graph, Node, TensorType
+from .ir import DType, Graph, Node, QuantParam, TensorType
 
 
 def _replace_uses(g: Graph, old_tid: int, new_tid: int):
@@ -779,7 +779,7 @@ def _conv_residual_ok(g: Graph, n: Node, geometry: str = "pallas") -> bool:
     )
 
 
-def fuse_conv_add(g: Graph, geometry: str = "pallas") -> int:
+def fuse_conv_add(g: Graph, geometry: str = "pallas", relaxed_relu: bool = False) -> int:
     """Fuse quantized Convolution -> Eltwise(SUM) residual pairs (the resnet
     block tail) into the conv node, lowered by the qconv_direct Pallas kernel
     with the add folded into its requantization stage (bit-faithful: both
@@ -841,12 +841,27 @@ def fuse_conv_add(g: Graph, geometry: str = "pallas") -> int:
                 t_ro = g.tensors[relu.outputs[0]]
                 qo = t_out.quant
                 qr = t_ro.quant
-                if (
-                    qr is not None
-                    and not qr.per_channel
-                    and float(qo.scales) == float(qr.scales)
-                    and int(qo.zero_points) == int(qr.zero_points)
-                    and t_ro.dtype == t_out.dtype
+                # exact tier: only a same-quant relu commutes (max(q, zp)).
+                # relaxed tier (XLA geometry): a relu at its OWN scale also
+                # folds — the epilogue multipliers retarget the relu's
+                # output grid and relu applies pre-round in that domain
+                # (relu commutes with positive scaling), removing the
+                # separate dequant -> max -> requant -> round chain that the
+                # r4 HLO dump showed costing ~6 extra VPU passes on every
+                # resnet block output (_requant_conv_out handles it via
+                # ctx.out_tensor being the relu output).
+                if qr is not None and not qr.per_channel and (
+                    (
+                        float(qo.scales) == float(qr.scales)
+                        and int(qo.zero_points) == int(qr.zero_points)
+                        and t_ro.dtype == t_out.dtype
+                    )
+                    or (
+                        relaxed_relu
+                        and geometry == "any"
+                        and conv.params.get("activation", -1) < 0
+                        and t_ro.dtype == t_out.dtype
+                    )
                 ):
                     conv.params["fused_add_relu"] = True
                     conv.outputs = [relu.outputs[0]]
@@ -1129,6 +1144,100 @@ def fuse_resnet_blocks(g: Graph, min_cmid: int = 0) -> int:
             n.outputs = []
         fused_blocks += len(chain)
     return fused_blocks
+
+
+def to_native_int8(g: Graph) -> int:
+    """Rewrite a UINT8-asymmetric quantized graph for the native-int8
+    storage/compute plan (Options.quant_native — the relaxed tier's 1-byte
+    path, compile-time clone only, never serialized):
+
+      * internal UINT8 activations shift to INT8: q' = q - 128, zp' = zp-128
+        — an exact relabeling of the same grid (QuantParam.full_range marks
+        the [-128, 127] clip span). Graph inputs/outputs keep their original
+        dtype so the pytengine/C-API buffer contract is unchanged; kernels
+        bridge at the boundary.
+      * conv/FC weights stored UINT8-asymmetric requantize to symmetric
+        per-channel INT8 (s_c = max|w_f|/127). This re-rounds each weight
+        once (<= s_c/2) — in-contract for the relaxed tier (the reference's
+        armv8.2 asm tier holds the same accuracy-not-bitwise contract), and
+        it is what lets the conv run as one s8*s8->s32 XLA convolution on
+        the int8 MXU instead of a bf16-shift pass + bf16 MXU. The exact
+        uint8 engine stays behind quant_relaxed=False / quant_mode="ref".
+      * raw int32 biases (scale s_in*s_w) are rescaled to the new weight
+        scales as float data — dequantized bias values are bit-identical.
+
+    INT8-symmetric graphs are already in native form (zp=0); the pass is a
+    no-op there and the engine just flips the storage plan. Returns the
+    number of tensors rewritten."""
+    boundary = set(g.input_tensors) | set(g.output_tensors)
+    changed = 0
+    for t in g.tensors:
+        if (
+            t.is_const
+            or t.idx in boundary
+            or t.dtype != DType.UINT8
+            or t.quant is None
+            or t.quant.per_channel
+        ):
+            continue
+        t.dtype = DType.INT8
+        t.quant.zero_points = np.asarray(
+            int(np.asarray(t.quant.zero_points).reshape(-1)[0]) - 128, np.int32
+        )
+        t.quant.full_range = True
+        changed += 1
+
+    done: Set[int] = set()
+    for n in g.nodes:
+        if n.op not in ("Convolution", "FullyConnected") or len(n.inputs) < 2:
+            continue
+        t_x = g.tensors[n.inputs[0]]
+        if t_x.dtype != DType.INT8:
+            continue  # consumer still reads u8 (graph input) -> bf16 path
+        tw = g.tensors[n.inputs[1]]
+        if (
+            tw.idx in done
+            or not tw.is_const
+            or tw.data is None
+            or tw.dtype != DType.UINT8
+            or tw.quant is None
+        ):
+            continue
+        if any(
+            g.nodes[c].op not in ("Convolution", "FullyConnected")
+            for c in tw.consumers
+            if c < len(g.nodes) and tw.idx in g.nodes[c].inputs
+        ):
+            continue  # shared with a non-conv consumer: leave as-is
+        done.add(tw.idx)
+        w_f = (
+            tw.data.astype(np.float64)
+            - float(np.asarray(tw.quant.zero_points).reshape(-1)[0])
+        ) * float(np.asarray(tw.quant.scales).reshape(-1)[0])
+        out_c = tw.shape[0]
+        flat = w_f.reshape(out_c, -1)
+        s_new = np.maximum(np.abs(flat).max(axis=1) / 127.0, 1e-10)
+        q = np.clip(np.round(flat / s_new[:, None]), -127, 127)
+        s_w_old = float(np.asarray(tw.quant.scales).reshape(-1)[0])
+        tw.data = q.astype(np.int8).reshape(tw.data.shape)
+        tw.dtype = DType.INT8
+        tw.quant = QuantParam(
+            scales=s_new.astype(np.float32),
+            zero_points=np.zeros(out_c, np.int32),
+            width=8,
+        )
+        changed += 1
+        if len(n.inputs) > 2:
+            tb = g.tensors[n.inputs[2]]
+            if tb.data is not None and not np.issubdtype(
+                np.asarray(tb.data).dtype, np.floating
+            ):
+                # raw bias at s_in*s_w_old -> float raw at s_in*s_new:
+                # dequantized value identical
+                tb.data = (
+                    tb.data.astype(np.float64) * (s_w_old / s_new)
+                ).astype(np.float32)
+    return changed
 
 
 def optimize(g: Graph) -> Graph:

@@ -26,6 +26,15 @@ QRANGE = {
 }
 
 
+def qrange(dtype: DType, quant: Optional[QuantParam] = None) -> Tuple[int, int]:
+    """Clip range for a quantized tensor. INT8 tensors holding a shifted
+    UINT8 grid (native-int8 storage, QuantParam.full_range) span the full
+    [-128, 127]; the reference's symmetric int8 scheme clips to +-127."""
+    if quant is not None and quant.full_range and dtype == DType.INT8:
+        return (-128, 127)
+    return QRANGE[dtype]
+
+
 def round_away(x):
     """C round(): half away from zero (jnp.round is half-to-even).
 
@@ -72,7 +81,7 @@ def requantize(
     store_bf16 stores the (exact, |q| <= 255 < 2^8) integer result as
     bfloat16 so the consuming MXU op needs no int->float pass
     (Options.quant_bf16_storage); the values are bit-identical."""
-    lo, hi = QRANGE[dtype]
+    lo, hi = qrange(dtype, quant)
     scales = jnp.asarray(quant.scales, jnp.float32)
     zps = jnp.asarray(quant.zero_points, jnp.float32)
     if quant.per_channel:
@@ -94,7 +103,7 @@ def dequantize_np(x: np.ndarray, quant: QuantParam, channel_axis: Optional[int] 
 
 
 def quantize_np(x: np.ndarray, quant: QuantParam, dtype: DType, channel_axis: Optional[int] = None):
-    lo, hi = QRANGE[dtype]
+    lo, hi = qrange(dtype, quant)
     if quant.per_channel:
         shape = _chan_shape(x.ndim, channel_axis, quant.scales.shape[0])
         q = round_away_np(x / quant.scales.reshape(shape)) + quant.zero_points.reshape(shape)

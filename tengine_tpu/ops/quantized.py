@@ -78,6 +78,35 @@ def _wscales(quant: QuantParam, out_c: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _ones_conv_np(w_raw, p, in_h, in_w, pads, dil):
+    """conv(ones, w) window sums, computed on the host at fold time: the
+    per-output-position sum of the weights whose tap lands inside the input
+    (zero padding masks the rest). Returns [O] when the value is uniform
+    (no padding / interior-only) else [oh, ow, O]. Exact: integer sums."""
+    colsum = w_raw.sum(axis=1).astype(np.float64)  # [O, kh, kw]
+    (pt, pb), (pl, pr) = pads
+    sh, sw = p["stride_h"], p["stride_w"]
+    dh, dw_ = dil
+    kh, kw = p["kernel_h"], p["kernel_w"]
+    if pt == pb == pl == pr == 0:
+        return colsum.sum(axis=(1, 2))  # [O]
+    kh_eff = (kh - 1) * dh + 1
+    kw_eff = (kw - 1) * dw_ + 1
+    oh = (in_h + pt + pb - kh_eff) // sh + 1
+    ow = (in_w + pl + pr - kw_eff) // sw + 1
+    oi = np.arange(oh) * sh - pt
+    oj = np.arange(ow) * sw - pl
+    out = np.zeros((oh, ow, colsum.shape[0]), np.float64)
+    for a in range(kh):
+        vi = (oi + a * dh >= 0) & (oi + a * dh < in_h)
+        for b in range(kw):
+            vj = (oj + b * dw_ >= 0) & (oj + b * dw_ < in_w)
+            out += (vi[:, None] & vj[None, :])[:, :, None] * colsum[:, a, b]
+    if np.all(out == out[0, 0]):
+        return out[0, 0]
+    return out
+
+
 def _relaxed_fused_add(ctx: LowerCtx) -> bool:
     """Relaxed single-rounding fused-residual epilogue applies: no conv-own
     activation (its clamp thresholds live in the mid-scale domain)."""
@@ -122,21 +151,58 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
     w_scales = _wscales(w_q, out_c)
     zp_w = int(np.asarray(w_q.zero_points).reshape(-1)[0]) if not w_q.per_channel else 0
 
-    # the integer path assumes symmetric activations (tmfile int8); nonzero
-    # activation zero-points (e.g. TFLite int8 imports) take the shift branch
-    if integer_lhs and zp_in == 0 and not jnp.issubdtype(xn.dtype, jnp.floating):
-        # int8 symmetric: raw int8 into the MXU, exact int32 accumulation
+    # the integer path takes raw int8 into the MXU with exact int32
+    # accumulation. zp_in == 0 (tmfile int8 symmetric) needs nothing else;
+    # a nonzero activation zero-point (native-int8-shifted uint8 graphs,
+    # TFLite int8 imports) folds into a compile-time constant:
+    #   conv(x - zp, w) = conv(x, w) - zp * conv(ones, w)
+    # where conv(ones, w)[h,w,c] is data-independent (window sums of the
+    # weights, with XLA's zero padding masking the border taps — exactly the
+    # semantics of padding x with zp). The constant joins the requant bias.
+    _dw = group == out_c and int(t_w.shape[1]) == 1 and group > 1
+    import os as _os
+    _dw_native = _os.environ.get("TT_DW_NATIVE", "1") not in ("0", "off")
+    if (
+        integer_lhs
+        and not jnp.issubdtype(xn.dtype, jnp.floating)
+        and (_dw_native or not _dw)
+    ):
         w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8")
+        strides = (p["stride_h"], p["stride_w"])
+        if (
+            p["kernel_h"] == 1
+            and p["kernel_w"] == 1
+            and max(strides) > 1
+            and pads == ((0, 0), (0, 0))
+        ):
+            # strided 1x1: only the even-subsampled input is read — feed
+            # x[::s, ::s] and run stride-1 (exact; XLA's s2 1x1 emitter
+            # measured 36 TOP/s vs 66 for the same conv at s1)
+            xn = xn[:, :: strides[0], :: strides[1], :]
+            strides = (1, 1)
         acc = lax.conv_general_dilated(
             xn,
             w,
-            window_strides=(p["stride_h"], p["stride_w"]),
+            window_strides=strides,
             padding=pads,
             rhs_dilation=(dil_h, dil_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             feature_group_count=group,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
+        if zp_in != 0:
+            s_out_f = float(np.asarray(out_q.scales).reshape(-1)[0])
+
+            def _zp_corr():
+                w_raw = ctx.const_data(1).astype(np.int64)  # [O, I/g, kh, kw]
+                m = (s_in * w_scales.astype(np.float64) / s_out_f)
+                corr = _ones_conv_np(
+                    w_raw, p, in_h, in_w, pads, (dil_h, dil_w)
+                )  # [oh, ow, O] or [O]
+                return (-zp_in * corr * m).astype(np.float32)[None]
+
+            zcorr = ctx.get_param("zp_corr", _zp_corr)
+            return acc, (s_in, w_scales, out_q, t_out.dtype, p, zcorr)
     else:
         # uint8 asymmetric: zero-point-shifted values are <=9-bit integers,
         # exactly representable in bf16; MXU multiplies exactly and
@@ -267,7 +333,7 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
             q = jnp.maximum(q, 0.0)
             if act > 0:
                 q = jnp.minimum(q, float(act) / s_out)
-    lo, hi = qmath.QRANGE[out_dtype]
+    lo, hi = qmath.qrange(out_dtype, out_q)
     store = _store_for(ctx, ctx.out_tensor(0))
     if residual is not None and _relaxed_fused_add(ctx):
         # relaxed tier (XLA path): q is already folded to the FINAL output
@@ -306,7 +372,7 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
     y = qmath.round_away((tf + rf) / s_out2) + zp_out2
     if p.get("fused_add_relu"):
         y = jnp.maximum(y, float(zp_out2))
-    lo2, hi2 = qmath.QRANGE[t_outf.dtype]
+    lo2, hi2 = qmath.qrange(t_outf.dtype, t_outf.quant)
     return nhwc(jnp.clip(y, lo2, hi2).astype(store))
 
 
@@ -319,6 +385,7 @@ def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
         not _fast_enabled(ctx)
         or not ctx.options.pallas_qconv
         or ctx.options.quant_bf16_storage  # kernel wants int operands
+        or _shifted_s8(ctx)  # kernel's int8 path assumes zp = 0
     ):
         return False
     p = ctx.params
@@ -336,6 +403,19 @@ def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
         # 1x1 convs run as a flat GEMM (BlockSpec-tiled, any channel count);
         # k>1 uses the manual halo DMA, which needs 128-aligned lanes
         and (k1 or in_c % 128 == 0)
+    )
+
+
+def _shifted_s8(ctx: LowerCtx) -> bool:
+    """INT8 input with a nonzero zero-point (a native-int8-shifted uint8
+    grid): the Pallas qconv/qgemm int8 paths assume symmetric zp=0 and must
+    not be selected (the XLA native branch carries the zp correction)."""
+    t_in = ctx.in_tensor(0)
+    return (
+        t_in.dtype == DType.INT8
+        and t_in.quant is not None
+        and not t_in.quant.per_channel
+        and int(np.asarray(t_in.quant.zero_points).reshape(-1)[0]) != 0
     )
 
 
@@ -430,7 +510,7 @@ def lower_conv_quant_pallas_stem(ctx: LowerCtx, x: TArr, *rest: TArr):
     m_e = ctx.get_param("stem_m", lambda: packed()[0]["m"])
     b_e = ctx.get_param("stem_b", lambda: packed()[0]["b"])
 
-    lo, hi = qmath.QRANGE[t_out.dtype]
+    lo, hi = qmath.qrange(t_out.dtype, t_out.quant)
     out = stem_qconv_packed(
         as_nchw(x),
         wmat, m_e, b_e,
@@ -439,8 +519,9 @@ def lower_conv_quant_pallas_stem(ctx: LowerCtx, x: TArr, *rest: TArr):
         act=p.get("activation", -1), s_out=s_out,
         zp_in=zp_in, zp_out=zp_out, lo=float(lo), hi=float(hi),
     )
-    if not ctx.options.quant_bf16_storage:
-        out = out.astype(jnp.int32).astype(t_out.dtype.np)
+    store = _store_for(ctx, t_out)
+    if not jnp.issubdtype(jnp.dtype(store), jnp.floating):
+        out = out.astype(jnp.int32).astype(store)
     return nhwc(out)
 
 
@@ -554,6 +635,7 @@ def _pallas_conv1x1_ok(ctx: LowerCtx) -> bool:
         or not _no_fused_add(ctx)
         or not ctx.options.pallas_qgemm
         or ctx.options.quant_bf16_storage  # qgemm kernel wants int operands
+        or _shifted_s8(ctx)  # int8 path assumes zp = 0
     ):
         return False
     p = ctx.params
@@ -631,13 +713,16 @@ def _qgemm_inputs(ctx: LowerCtx, w_idx: int = 1, b_idx: int = 2):
 
 
 def _native_int_ok() -> bool:
-    """XLA integer dot/conv support. The axon TPU backend hangs compiling
-    int8 convolutions (observed: >15 min on a 3x3x16x32 conv), so native
-    integer lowering is only used on CPU; on TPU the int8 fast path uses the
-    exact-in-bf16 shift trick until the Pallas int8 MXU kernel takes over."""
-    import jax
+    """XLA integer dot/conv support. An earlier (r2) toolchain hung compiling
+    int8 convolutions on the axon TPU backend (>15 min on a 3x3x16x32 conv),
+    which forced the bf16-shift trick; re-probed r4 after the platform
+    upgrade, every geometry (stem C_in=3, dw, small-channel, strided)
+    compiles in seconds and s8*s8->s32 convs run the int8 MXU at 1.4-1.7x
+    the bf16 rate (290 vs 167 TOP/s on a 3x3x256 conv). TT_NATIVE_INT=0
+    reverts to the bf16 path."""
+    import os
 
-    return jax.default_backend() == "cpu"
+    return os.environ.get("TT_NATIVE_INT", "1") not in ("0", "off")
 
 
 @register_op("Convolution", score=SCORE_STATIC, predicate=_pallas_conv1x1_ok, quant=True)
@@ -674,6 +759,7 @@ def _pallas_fc_ok(ctx: LowerCtx) -> bool:
         _fast_enabled(ctx)
         and ctx.options.pallas_qgemm
         and not ctx.options.quant_bf16_storage
+        and not _shifted_s8(ctx)  # int8 path assumes zp = 0
     )
 
 
@@ -796,7 +882,6 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
 
     if (
         t_in.dtype == DType.INT8
-        and zp_in == 0
         and _native_int_ok()
         and not jnp.issubdtype(xf.dtype, jnp.floating)
     ):
@@ -804,6 +889,17 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         acc = lax.dot_general(
             xf, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         ).astype(jnp.float32)
+        if zp_in != 0:
+            # dot(x - zp, w) = dot(x, w) - zp * colsum(w): fold the constant
+            # (native-int8-shifted uint8 activations; exact integer sums)
+            zc = ctx.get_param(
+                "fc_zp_corr",
+                lambda: (
+                    -float(zp_in)
+                    * ctx.const_data(1).astype(np.int64).reshape(out_c, -1).sum(axis=1)
+                ).astype(np.float32),
+            )
+            acc = acc + zc
     else:
         zp_w = int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
         # bf16 HBM storage: zero-point-shifted weights are exact in bf16
@@ -834,7 +930,7 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
             ),
         )
         q = q + B
-    lo, hi = qmath.QRANGE[t_out.dtype]
+    lo, hi = qmath.qrange(t_out.dtype, t_out.quant)
     store = _store_for(ctx, t_out)
     out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
     if rank == 3:

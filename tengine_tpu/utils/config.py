@@ -137,6 +137,23 @@ class Options:
     # oracle tier).
     quant_relaxed: bool = True
 
+    # Native-int8 storage/compute plan ("auto" | "on" | "off"). When active
+    # (auto = whenever quant_relaxed is on), every quantized activation is
+    # stored as its raw 1-byte value and convolutions/FCs consume it DIRECTLY
+    # as an s8×s8→s32 XLA convolution on the int8 MXU — no bf16 shift pass,
+    # no 2 B/elt storage. UINT8-scheme graphs are rewritten by
+    # graph/passes.py:to_native_int8: activations shift to s8 (q-128, zp-128
+    # — exact), weights requantize to symmetric per-channel s8 (the relaxed
+    # tier's accuracy contract; exact uint8 stays behind quant_relaxed=False),
+    # and nonzero input zero-points fold into a compile-time constant
+    # correction (zp·conv(1s, w), exact). Measured v5e (r4): a lone s8 3x3
+    # conv runs 290 TOP/s vs 167 for the same conv in bf16, an s8 dw+pw
+    # chain 0.43 vs 0.58 ms/block — the r2 conclusion that integer storage
+    # loses ("the axon backend hangs on int8 convs") no longer holds after
+    # the platform upgrade; re-probed across stem/dw/small-channel
+    # geometries, all compile in seconds. TT_NATIVE_INT=0 reverts.
+    quant_native: str = "auto"
+
     # Minimum bottleneck width (c_mid) for whole-chain Pallas fusion under
     # quant_relaxed: the r4 per-stage scan (tools/chain_scan.py) measured
     # chains LOSING below 256 lanes (stage2 c64: 3.56 ms chained vs ~2.6 ms
