@@ -442,6 +442,13 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
             graph,
             min_cmid=0 if options.fuse_resblock else options.chain_min_cmid,
         )
+    if fast_quant and options.quant_relaxed and options.fuse_dwchain:
+        # mobilenet-family dw+pw runs -> whole-chain Pallas kernels
+        # (relaxed tier; see Options.fuse_dwchain)
+        from ..graph.passes import fuse_dwpw_chains
+
+        graph = graph.clone()
+        fuse_dwpw_chains(graph)
     if fast_quant and options.fuse_dwpw:
         from ..graph.passes import fuse_dwpw
 

@@ -755,6 +755,102 @@ def fuse_dwpw(g: Graph, require_c128: bool = False) -> int:
     return fused
 
 
+def fuse_dwpw_chains(g: Graph, max_blocks: int = 8) -> int:
+    """Fuse RUNS of stride-1 quantized dw3x3 -> pw1x1 blocks (the mobilenet
+    family's separable stacks) into `FusedDwPwChain` nodes, lowered to the
+    whole-chain Pallas kernel (ops/pallas/dwchain.py) that keeps every
+    intermediate in VMEM. Relaxed-tier only (the chain carries unrounded
+    f32 between layers); the engine gates on Options.quant_relaxed.
+    Chains break at stride-2 dw layers, multi-consumer tensors, and graph
+    outputs. Returns the number of blocks fused."""
+    pairs = {}
+    for dw in g.nodes:
+        if not _is_dw3x3(g, dw) or dw.params.get("stride_h", 1) != 1:
+            continue
+        pw = _single_consumer(g, dw)
+        if pw is None or not _is_pw1x1(g, pw) or pw.inputs[0] != dw.outputs[0]:
+            continue
+        if dw.idx in g.outputs or pw.idx in g.outputs:
+            continue
+        mid = g.tensors[dw.outputs[0]]
+        t_x = g.tensors[dw.inputs[0]]
+        t_out = g.tensors[pw.outputs[0]]
+        if not (_act_quant_ok(t_x) and _act_quant_ok(mid) and _act_quant_ok(t_out)):
+            continue
+        if not (t_x.dtype == mid.dtype == t_out.dtype):
+            continue
+        t_wd = g.tensors[dw.inputs[1]]
+        t_wp = g.tensors[pw.inputs[1]]
+        if t_wd.quant is None or t_wp.quant is None:
+            continue
+        if t_wd.data is None or t_wp.data is None:
+            continue
+        pairs[dw.inputs[0]] = dict(dw=dw, pw=pw, out_tid=pw.outputs[0])
+
+    fused = 0
+    consumed = set()
+    heads = [
+        x_tid for x_tid, m in pairs.items()
+        if not (
+            x_tid in (p["out_tid"] for p in pairs.values())
+            and len(_consumers_of(g, x_tid)) == 1
+        )
+    ]
+    for head in heads:
+        if head not in pairs or pairs[head]["dw"].idx in consumed:
+            continue
+        chain = [pairs[head]]
+        while len(chain) < max_blocks:
+            out_tid = chain[-1]["out_tid"]
+            nxt = pairs.get(out_tid)
+            if nxt is None or nxt["dw"].idx in consumed:
+                break
+            if _consumers_of(g, out_tid) != [nxt["dw"].idx]:
+                break
+            chain.append(nxt)
+        inputs = [head]
+        blocks = []
+        shells = []
+        for m in chain:
+            dw, pw = m["dw"], m["pw"]
+            consumed.add(dw.idx)
+            wd_pos = len(inputs); inputs.append(dw.inputs[1])
+            bd_pos = -1
+            if len(dw.inputs) > 2:
+                bd_pos = len(inputs); inputs.append(dw.inputs[2])
+            wp_pos = len(inputs); inputs.append(pw.inputs[1])
+            bp_pos = -1
+            if len(pw.inputs) > 2:
+                bp_pos = len(inputs); inputs.append(pw.inputs[2])
+            blocks.append(dict(
+                mid_tid=dw.outputs[0], out_tid=pw.outputs[0],
+                act_d=dw.params.get("activation", -1),
+                act_p=pw.params.get("activation", -1),
+                wd_pos=wd_pos, bd_pos=bd_pos, wp_pos=wp_pos, bp_pos=bp_pos,
+            ))
+            shells.append(dw); shells.append(pw)
+        out_tid = chain[-1]["out_tid"]
+        for n in shells:
+            for tid in set(n.inputs):
+                g.tensors[tid].consumers = [
+                    c for c in g.tensors[tid].consumers if c != n.idx
+                ]
+        node = g.add_node(
+            "FusedDwPwChain",
+            f"dwchain[{chain[0]['dw'].name}..x{len(chain)}]",
+            inputs, [out_tid], dict(blocks=blocks),
+        )
+        g.tensors[out_tid].producer = node.idx
+        for m in chain[:-1]:
+            g.tensors[m["out_tid"]].consumers = []
+        for m in chain:
+            g.tensors[m["dw"].outputs[0]].consumers = []
+        for n in shells:
+            n.op = "Noop"; n.inputs = []; n.outputs = []
+        fused += len(chain)
+    return fused
+
+
 def _conv_residual_ok(g: Graph, n: Node, geometry: str = "pallas") -> bool:
     """geometry="pallas": envelope of the qconv_direct Pallas kernel
     (ops/pallas/qconv.py): group 1, dilation 1, stride 1/2, C % 128 == 0.

@@ -534,3 +534,118 @@ def lower_resblock_chain(ctx: LowerCtx, x: TArr, *rest):
     if y.dtype != want:
         y = y.astype(want)
     return nhwc(y)
+
+
+# ---------------------------------------------------------------------------
+# FusedDwPwChain (graph/passes.py:fuse_dwpw_chains): runs of stride-1
+# dw3x3+pw1x1 blocks — the mobilenet family's separable stacks — executed by
+# one Pallas kernel per chain with every intermediate resident in VMEM
+# (ops/pallas/dwchain.py). Relaxed tier only: the chain carries unrounded
+# f32 between layers (clamped to each layer's calibrated saturation range)
+# and rounds once at the chain output. Reference analog: the dedicated
+# dw3x3/pw asm pair of the armv8 tier (conv_dw_*), fused at the TPU-native
+# granularity (HBM traffic).
+# ---------------------------------------------------------------------------
+
+
+def _ceil128(c: int) -> int:
+    return max(128, ((int(c) + 127) // 128) * 128)
+
+
+@register_op("FusedDwPwChain", score=SCORE_BEST, quant=True)
+def lower_dwpw_chain(ctx: LowerCtx, x: TArr, *rest):
+    import jax
+
+    from .pallas.dwchain import (
+        DwBlock, build_dw_args, dwchain, pack_activations, seg_geometry,
+        unpack_activations,
+    )
+    from .quantized import _store_for
+
+    g = ctx.graph
+    p = ctx.params
+    t_in = ctx.in_tensor(0)
+    t_out = ctx.out_tensor(0)
+    s_in = _scale_of(t_in)
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+
+    blocks = []
+    args = []
+    s_prev = s_in
+    for bi, bp_ in enumerate(p["blocks"]):
+        mid = g.tensors[bp_["mid_tid"]]
+        out = g.tensors[bp_["out_tid"]]
+        t_wd = ctx.in_tensor(bp_["wd_pos"])
+        t_wp = ctx.in_tensor(bp_["wp_pos"])
+        c = int(t_wd.shape[0])
+        c2 = int(t_wp.shape[0])
+        s_mid, s_out = _scale_of(mid), _scale_of(out)
+        zp_mid = int(np.asarray(mid.quant.zero_points).reshape(-1)[0])
+        zp_o = int(np.asarray(out.quant.zero_points).reshape(-1)[0])
+        mlo, mhi = qmath.qrange(mid.dtype, mid.quant)
+        olo, ohi = qmath.qrange(out.dtype, out.quant)
+        blk = DwBlock(
+            c=_ceil128(c), c_out=_ceil128(c2),
+            act_d=bp_["act_d"], act_p=bp_["act_p"],
+            s_mid=s_mid, s_out=s_out,
+            mid_lo=float(mlo - zp_mid), mid_hi=float(mhi - zp_mid),
+            out_lo=float(olo - zp_o), out_hi=float(ohi - zp_o),
+        )
+        blocks.append(blk)
+
+        def mk(bi=bi, bp_=bp_, blk=blk, s_prev=s_prev, s_mid=s_mid,
+               s_out=s_out, c=c, c2=c2, t_wd=t_wd, t_wp=t_wp):
+            zp_wd = (
+                0 if t_wd.quant.per_channel
+                else int(np.asarray(t_wd.quant.zero_points).reshape(-1)[0])
+            )
+            zp_wp = (
+                0 if t_wp.quant.per_channel
+                else int(np.asarray(t_wp.quant.zero_points).reshape(-1)[0])
+            )
+            bd = (
+                ctx.const_data(bp_["bd_pos"]) if bp_["bd_pos"] >= 0 else None
+            )
+            bpq = (
+                ctx.const_data(bp_["bp_pos"]) if bp_["bp_pos"] >= 0 else None
+            )
+            return build_dw_args(
+                blk, ctx.const_data(bp_["wd_pos"]), bd,
+                ctx.const_data(bp_["wp_pos"]), bpq,
+                s_prev, t_wd.quant.scales, zp_wd,
+                s_mid, t_wp.quant.scales, zp_wp, s_out,
+            )
+
+        for j, key in enumerate(("wd", "md", "bd", "wp", "mp", "bp")):
+            args.append(ctx.get_param(f"dwc{bi}_{key}", lambda j=j, mk=mk: mk()[j]))
+        s_prev = s_out
+
+    xn = as_nhwc(x)
+    N, H, Wd, C = (int(d) for d in xn.shape)
+    SEG, gp = seg_geometry(Wd)
+    Np = ((N + gp - 1) // gp) * gp
+    if Np != N:
+        xn = jnp.pad(xn, ((0, Np - N), (0, 0), (0, 0), (0, 0)))
+    xp = pack_activations(xn, H, Wd)
+    if blocks[0].c != C:
+        xp = jnp.pad(xp, ((0, 0), (0, 0), (0, blocks[0].c - C)))
+
+    zp_out = int(np.asarray(t_out.quant.zero_points).reshape(-1)[0])
+    flo, fhi = qmath.qrange(t_out.dtype, t_out.quant)
+    store = _store_for(ctx, t_out)
+    out_dtype = (
+        "bfloat16" if jnp.issubdtype(jnp.dtype(store), jnp.floating)
+        else jnp.dtype(store).name
+    )
+    y = dwchain(
+        xp, *args, blocks=tuple(blocks), H=H, W=Wd,
+        zp_in=float(zp_in), zp_out=float(zp_out),
+        out_lo=float(flo), out_hi=float(fhi), out_dtype=out_dtype,
+    )
+    c_last = int(ctx.in_tensor(p["blocks"][-1]["wp_pos"]).shape[0])
+    if y.shape[-1] != c_last:
+        y = y[:, :, :c_last]
+    y = unpack_activations(y, Np, H, Wd)
+    if Np != N:
+        y = y[:N]
+    return nhwc(y)

@@ -244,6 +244,11 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
         elif zp_in == 0 and xn.dtype == jnp.bfloat16:
             xs = xn  # already exact bf16 integers
         else:
+            # NOTE (r4): folding this subtract into a ones-conv correction
+            # constant (like the integer branch does) was A/B'd and is
+            # perf-neutral — XLA hoists the loop-invariant subtract out of
+            # the window read; the uint8-vs-int8 residue lives elsewhere
+            # (asymmetric epilogue adds, measured smeared ~2% per fusion).
             xs = (xn.astype(jnp.float32) - zp_in).astype(jnp.bfloat16)
         if is_dw:
             # depthwise + elementwise-producer input: block input-prologue
@@ -807,7 +812,14 @@ def lower_conv_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
     acc, pack = _conv_quant_common(ctx, x, integer_lhs=integer_lhs)
     fused_pos = ctx.params.get("fused_add_pos")
     residual = as_nhwc(rest[fused_pos - 1]) if fused_pos is not None else None
-    return _requant_conv_out(ctx, acc, pack, residual=residual)
+    out = _requant_conv_out(ctx, acc, pack, residual=residual)
+    import os as _os
+
+    if _os.environ.get("TT_SPLIT_KCONV") and ctx.params.get("kernel_h", 1) > 1:
+        # A/B probe: stop k>1 conv fusions from nesting inside the next
+        # conv's output fusion (suspected slow window configs)
+        return TArr(jax.lax.optimization_barrier(out.x), out.layout)
+    return out
 
 
 @register_op(

@@ -154,6 +154,15 @@ class Options:
     # geometries, all compile in seconds. TT_NATIVE_INT=0 reverts.
     quant_native: str = "auto"
 
+    # Fuse runs of stride-1 quantized dw3x3+pw1x1 blocks (the mobilenet
+    # family's separable stacks) into whole-chain Pallas kernels
+    # (ops/pallas/dwchain.py) with every intermediate resident in VMEM.
+    # Relaxed-tier numerics: the chain carries unrounded f32 between layers
+    # (clamped to each layer's calibrated saturation range) and rounds once
+    # at the chain output — strictly closer to the fp32 oracle than the
+    # per-layer-rounding exact engine. Requires quant_relaxed.
+    fuse_dwchain: bool = False
+
     # Minimum bottleneck width (c_mid) for whole-chain Pallas fusion under
     # quant_relaxed: the r4 per-stage scan (tools/chain_scan.py) measured
     # chains LOSING below 256 lanes (stage2 c64: 3.56 ms chained vs ~2.6 ms
