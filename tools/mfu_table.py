@@ -43,12 +43,16 @@ CONFIGS = [
 
 
 def classify(name: str) -> str:
-    n = name.lower()
+    # the trace event name is the full HLO text ("%foo = s8[...] fusion(%bar,
+    # %copy-done.3, ...)"); classify on the result op only — matching the
+    # whole text binned every fusion with a copy-done OPERAND as "copy"
+    # (the r4 "copy:100%" artifact)
+    n = name.split(" = ")[0].lower()
     if "-start" in n or "-done" in n:
         # async DMA (weight prefetch etc.) — overlapped with compute, its
         # "self time" spans the wait and would swamp the split
         return "async-dma"
-    if "qblock" in n or "custom-call" in n or "stem" in n:
+    if "qblock" in n or "custom-call" in n or "stem" in n or "dwchain" in n:
         return "pallas"
     if "convolution" in n or ("dot" in n and "fusion" not in n):
         return "mxu"

@@ -17,8 +17,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def parse_xplane(path):
-    """Parse an .xplane.pb into [(event_name, total_duration_ps, count)]."""
+def parse_xplane(path, lines=("XLA Ops", "XLA Modules")):
+    """Parse an .xplane.pb into [(event_name, total_duration_ps, count)].
+
+    Only the named trace lines are aggregated — by default the synchronous
+    per-op line ("XLA Ops", whose durations sum to the module time) and the
+    module line. The "Async XLA Ops" line's copy-start/done events span
+    their whole overlap window (a mobilenet b128 trace shows 22 ms/iter of
+    async span inside a 2.7 ms module) and must not be mixed into self-time
+    splits — doing so was the r4 MFU-table "copy:100%" artifact."""
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     with open(path, "rb") as f:
@@ -29,6 +36,8 @@ def parse_xplane(path):
             continue
         emeta = plane.event_metadata
         for line in plane.lines:
+            if lines is not None and line.name not in lines:
+                continue
             for ev in line.events:
                 name = emeta[ev.metadata_id].name
                 agg[name][0] += ev.duration_ps
