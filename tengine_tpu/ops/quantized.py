@@ -167,8 +167,61 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
         and not jnp.issubdtype(xn.dtype, jnp.floating)
         and (_dw_native or not _dw)
     ):
-        w = ctx.weight(1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8")
         strides = (p["stride_h"], p["stride_w"])
+        (pt_, pb_), (pl2, pr2) = pads
+        kw_ = p["kernel_w"]
+        in_c = int(t_w.shape[1])
+        # width-fold for small-channel stride-2 stems (exact, bit-equal):
+        # pad W left by an EVEN amount L >= pl, merge W-pairs into channels
+        # (a pure minor-dim reshape — no relayout), and run the conv at
+        # stride (sh, 1) with the taps scattered to (folded col, phase)
+        # slots. Doubles the contraction depth the emitter sees (2*C_in)
+        # and removes the W-stride; measured standalone on the resnet 7x7
+        # stem: 2.56 -> 1.58 ms b128 (bit-equal output).
+        wfold = (
+            _os.environ.get("TT_WFOLD", "1") not in ("0", "off")
+            and strides[1] == 2
+            and kw_ >= 3
+            and in_c <= 4
+            and group == 1
+            and dil_w == 1
+            and zp_in == 0
+            # measured envelope: every 224-family stem wins (mobilenet-v1
+            # whole-net +4.6%, resnet stem fusion 0.71 -> 0.64 ms), the
+            # 300-px mssd stem LOSES 11% at b8 — the folded emitter's
+            # tiling dislikes non-8-aligned widths. 299 (inception) is
+            # already excluded by evenness.
+            and in_w % 8 == 0
+            and pl2 >= 0
+            and pr2 >= 0
+        )
+        if wfold:
+            L = pl2 + (pl2 % 2)
+            kwf = (kw_ - 1 + L - pl2) // 2 + 1
+            ow = (in_w + pl2 + pr2 - kw_) // 2 + 1
+            wf_cols = (in_w + L) // 2
+            r_fold = ow + kwf - 1 - wf_cols  # folded-domain right pad/trim
+
+            def _fold(a):  # [O, I, kh, kw] raw -> folded HWIO
+                hwio = np.transpose(a, (2, 3, 1, 0))
+                kh_, _, ci, co = hwio.shape
+                out = np.zeros((kh_, kwf, 2 * ci, co), a.dtype)
+                for k in range(kw_):
+                    s = k + L - pl2
+                    out[:, s // 2, (s % 2) * ci : (s % 2 + 1) * ci, :] += hwio[
+                        :, k
+                    ]
+                return out
+
+            w = ctx.weight(1, _fold, tag=f"hwio_i8_wfold{L}")
+            xn = jnp.pad(xn, ((0, 0), (0, 0), (L, 0), (0, 0)))
+            xn = xn.reshape(xn.shape[0], xn.shape[1], wf_cols, 2 * in_c)
+            pads = ((pt_, pb_), (0, r_fold))
+            strides = (strides[0], 1)
+        else:
+            w = ctx.weight(
+                1, lambda a: np.transpose(a, (2, 3, 1, 0)), tag="hwio_i8"
+            )
         if (
             p["kernel_h"] == 1
             and p["kernel_w"] == 1
@@ -214,14 +267,50 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
         # bf16. Storing f32 and converting in-graph would double the weight
         # HBM traffic and add a convert pass per conv (measured in the
         # r50-int8 device trace: f32 weight tap slices + converts).
-        w = ctx.weight(
-            1,
-            lambda a: (a.astype(np.float32) - zp_w)
-            .transpose(2, 3, 1, 0)
-            .astype(jnp.bfloat16),
-            tag="hwio_zshift_bf16",
-        )
         is_dw = group == out_c and int(t_w.shape[1]) == 1 and group > 1
+        (pt0, pb0), (pl0, pr0) = pads
+        stride_wv = (p["stride_h"], p["stride_w"])
+        # width-fold for small-channel stride-2 stems (see the integer
+        # branch): exact in the (x - zp) shifted domain — zero-filled tap
+        # slots and implicit zero padding are both the conv's pad value
+        bf_wfold = (
+            _os.environ.get("TT_WFOLD", "1") not in ("0", "off")
+            and p["stride_w"] == 2
+            and p["kernel_w"] >= 3
+            and int(t_w.shape[1]) <= 4
+            and group == 1
+            and dil_w == 1
+            and in_w % 8 == 0  # measured envelope — see the integer branch
+            and pl0 >= 0
+            and pr0 >= 0
+        )
+        if bf_wfold:
+            Lb = pl0 + (pl0 % 2)
+            kwfb = (p["kernel_w"] - 1 + Lb - pl0) // 2 + 1
+            owb = (in_w + pl0 + pr0 - p["kernel_w"]) // 2 + 1
+            wfb_cols = (in_w + Lb) // 2
+            rb_fold = owb + kwfb - 1 - wfb_cols
+
+            def _fold_bf16(a):
+                hwio = (a.astype(np.float32) - zp_w).transpose(2, 3, 1, 0)
+                kh_, kw_, ci, co = hwio.shape
+                out = np.zeros((kh_, kwfb, 2 * ci, co), np.float32)
+                for k in range(kw_):
+                    s = k + Lb - pl0
+                    out[:, s // 2, (s % 2) * ci : (s % 2 + 1) * ci, :] += (
+                        hwio[:, k]
+                    )
+                return out.astype(jnp.bfloat16)
+
+            w = ctx.weight(1, _fold_bf16, tag=f"hwio_zshift_bf16_wf{Lb}")
+        else:
+            w = ctx.weight(
+                1,
+                lambda a: (a.astype(np.float32) - zp_w)
+                .transpose(2, 3, 1, 0)
+                .astype(jnp.bfloat16),
+                tag="hwio_zshift_bf16",
+            )
         dw_zp_fold = is_dw and zp_in != 0
         if dw_zp_fold:
             # Depthwise uint8: do NOT subtract the input zero-point — the
@@ -266,10 +355,19 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
                 "FusedResBlockChain",
             ):
                 xs = jax.lax.optimization_barrier(xs)
+        if bf_wfold:
+            # xs holds (x - zp): zero pad IS the conv's pad value, so the
+            # fold is exact for asymmetric uint8 too
+            xs = jnp.pad(xs, ((0, 0), (0, 0), (Lb, 0), (0, 0)))
+            xs = xs.reshape(
+                xs.shape[0], xs.shape[1], wfb_cols, 2 * int(t_w.shape[1])
+            )
+            pads = (pads[0], (0, rb_fold))
+            stride_wv = (p["stride_h"], 1)
         acc = lax.conv_general_dilated(
             xs,
             w,
-            window_strides=(p["stride_h"], p["stride_w"]),
+            window_strides=stride_wv,
             padding=pads,
             rhs_dilation=(dil_h, dil_w),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
