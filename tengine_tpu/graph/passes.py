@@ -960,9 +960,10 @@ def fuse_conv_add(g: Graph, geometry: str = "pallas", relaxed_relu: bool = False
                     )
                 ):
                     conv.params["fused_add_relu"] = True
+                    orphan_tid = conv.outputs[0]  # the Eltwise-output tensor
                     conv.outputs = [relu.outputs[0]]
                     t_ro.producer = conv.idx
-                    g.tensors[add.outputs[0] if add.outputs else 0]
+                    g.tensors[orphan_tid].consumers = []
                     g.tensors[conv.params["fused_add_mid"]].consumers = []
                     if relu.idx in g.outputs:
                         g.outputs = [conv.idx if o == relu.idx else o for o in g.outputs]
@@ -1306,15 +1307,23 @@ def to_native_int8(g: Graph) -> int:
         ):
             continue  # shared with a non-conv consumer: leave as-is
         done.add(tw.idx)
-        w_f = (
-            tw.data.astype(np.float64)
-            - float(np.asarray(tw.quant.zero_points).reshape(-1)[0])
-        ) * float(np.asarray(tw.quant.scales).reshape(-1)[0])
         out_c = tw.shape[0]
-        flat = w_f.reshape(out_c, -1)
+        # per-tensor OR per-channel (quant_tool_uint8_perchannel) uint8
+        # weights: broadcast old scales/zps along the out-channel axis 0
+        # before dequantizing (ADVICE r4: channel-0-only corrupted
+        # per-channel weights)
+        s_w_old = np.asarray(tw.quant.scales, np.float64).reshape(-1)
+        zp_w_old = np.asarray(tw.quant.zero_points, np.float64).reshape(-1)
+        if s_w_old.size not in (1, out_c) or zp_w_old.size not in (1, out_c):
+            continue  # unexpected quant-axis layout: leave on the bf16 path
+        if s_w_old.size == 1:
+            s_w_old = np.full(out_c, s_w_old[0])
+        if zp_w_old.size == 1:
+            zp_w_old = np.full(out_c, zp_w_old[0])
+        flat_q = tw.data.astype(np.float64).reshape(out_c, -1)
+        flat = (flat_q - zp_w_old[:, None]) * s_w_old[:, None]
         s_new = np.maximum(np.abs(flat).max(axis=1) / 127.0, 1e-10)
         q = np.clip(np.round(flat / s_new[:, None]), -127, 127)
-        s_w_old = float(np.asarray(tw.quant.scales).reshape(-1)[0])
         tw.data = q.astype(np.int8).reshape(tw.data.shape)
         tw.dtype = DType.INT8
         tw.quant = QuantParam(

@@ -166,6 +166,12 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
         integer_lhs
         and not jnp.issubdtype(xn.dtype, jnp.floating)
         and (_dw_native or not _dw)
+        # the s8 dot consumes raw weight bytes: only symmetric INT8 weights
+        # are valid here (to_native_int8 may skip a weight — shared with a
+        # non-conv consumer, non-const — leaving it UINT8-asymmetric; that
+        # case must fall through to the zp-shifted bf16 branch, ADVICE r4)
+        and t_w.dtype == DType.INT8
+        and zp_w == 0
     ):
         strides = (p["stride_h"], p["stride_w"])
         (pt_, pb_), (pl2, pr2) = pads
@@ -707,7 +713,8 @@ def lower_conv_quant_pallas_direct(ctx: LowerCtx, x: TArr, *rest: TArr):
         cw=cw,
         act=p.get("activation", -1),
         inv_s_out=1.0 / s_mid, zp_out=zp_mid,
-        lo=qmath.QRANGE[t_out.dtype][0], hi=qmath.QRANGE[t_out.dtype][1],
+        lo=qmath.qrange(t_out.dtype, t_out.quant)[0],
+        hi=qmath.qrange(t_out.dtype, t_out.quant)[1],
         out_dtype="uint8" if t_out.dtype == DType.UINT8 else "int8",
     )
     if kh == 1 and kw == 1 and s == 1 and not (pt or pb or pl_ or pr):
@@ -850,8 +857,8 @@ def lower_conv1x1_quant_pallas(ctx: LowerCtx, x: TArr, *rest: TArr):
         act=p.get("activation", -1),
         inv_s_out=1.0 / s_out,
         zp_out=zp_out,
-        lo=qmath.QRANGE[t_out.dtype][0],
-        hi=qmath.QRANGE[t_out.dtype][1],
+        lo=qmath.qrange(t_out.dtype, t_out.quant)[0],
+        hi=qmath.qrange(t_out.dtype, t_out.quant)[1],
         out_dtype="uint8" if t_out.dtype == DType.UINT8 else "int8",
     )
     return nhwc(out.reshape(n, oh, ow, -1))
@@ -887,8 +894,8 @@ def lower_fc_quant_pallas(ctx: LowerCtx, x: TArr, *rest: TArr):
         act=-1,
         inv_s_out=1.0 / s_out,
         zp_out=zp_out,
-        lo=qmath.QRANGE[t_out.dtype][0],
-        hi=qmath.QRANGE[t_out.dtype][1],
+        lo=qmath.qrange(t_out.dtype, t_out.quant)[0],
+        hi=qmath.qrange(t_out.dtype, t_out.quant)[1],
         out_dtype="uint8" if t_out.dtype == DType.UINT8 else "int8",
     )
     if rank == 3:
@@ -994,6 +1001,12 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         t_in.dtype == DType.INT8
         and _native_int_ok()
         and not jnp.issubdtype(xf.dtype, jnp.floating)
+        # s8 dot needs symmetric INT8 weights (see _conv_quant_common)
+        and t_w.dtype == DType.INT8
+        and (
+            t_w.quant.per_channel
+            or int(np.asarray(t_w.quant.zero_points).reshape(-1)[0]) == 0
+        )
     ):
         w = ctx.weight(1, lambda a: np.ascontiguousarray(a.T), tag="kt_i8")
         acc = lax.dot_general(

