@@ -115,11 +115,29 @@ def measure_device_ms_trace(call, sync, iters=200):
 
 def measure_b1_ms(call, sync):
     """One blessed number for a batch-1 config: trace-based device time,
-    slope-method fallback when tracing is unavailable."""
+    slope-method fallback when tracing is unavailable. Returns
+    (ms, sigma_or_None, method) with method in {"trace", "slope"} — the two
+    are NOT comparable (the r4 t(n) sweep measured a 5.4x spread on the
+    slope method at b1), so callers must publish slope-derived numbers
+    under a *_slope history key and never against a trace-keyed gate
+    (VERDICT r4 item 7)."""
     ms, sigma = measure_device_ms_trace(call, sync)
     if ms is None:
-        return measure_device_ms(call, sync), None
-    return ms, sigma
+        print(
+            "[bench] WARNING: xplane trace unavailable — b1 latency falls "
+            "back to the slope method (5.4x spread; gate key gets a _slope "
+            "suffix so rounds never compare across methods)",
+            file=sys.stderr,
+        )
+        return measure_device_ms(call, sync), None, "slope"
+    return ms, sigma, "trace"
+
+
+def b1_gate_key(base: str, method: str) -> str:
+    """History key for a b1-latency gate entry: the measurement method is
+    part of the key, so a tooling change can neither fire nor mask a phantom
+    regression across rounds (trace vs slope are different clocks)."""
+    return base if method == "trace" else base + "_slope"
 
 
 def _sync_out(out):
@@ -258,6 +276,7 @@ def bench_face_pipeline(max_faces=8):
 
     rng = np.random.default_rng(0)
     stages = []
+    methods = []
     for name, batch in (("retinaface", 1), ("mobilefacenets", max_faces)):
         g = load_benchmark_model(name, fill_missing_weights="random")
         shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
@@ -272,10 +291,11 @@ def bench_face_pipeline(max_faces=8):
         # both stages are sub-ms: use the blessed trace method (VERDICT r3
         # items 2+3 — the r3 "-44% face regression" was this config measured
         # by the slope method at noise-dominated dispatch counts)
-        ms, _sigma = measure_b1_ms(lambda: cg(xq), _sync_out)
+        ms, _sigma, method = measure_b1_ms(lambda: cg(xq), _sync_out)
         stages.append(ms)
+        methods.append(method)
     total_ms = sum(stages)
-    return total_ms, stages
+    return total_ms, stages, "trace" if all(m == "trace" for m in methods) else "slope"
 
 
 HISTORY = "bench_history.json"
@@ -337,15 +357,21 @@ def main():
     )
 
     results = {}
-    u8_lat_ms, u8_lat_sigma = bench_model_quant_b1(model, scheme="uint8")
+    u8_lat_ms, u8_lat_sigma, u8_lat_method = bench_model_quant_b1(
+        model, scheme="uint8"
+    )
     u8_ms, u8_ips = bench_model_uint8(model, batch=128)
     results["mobilenetv1_uint8_b128"] = u8_ips
-    # b1 latency rides the gate as a rate so "lower latency = higher value"
-    results["mobilenetv1_uint8_b1_fps"] = 1000.0 / u8_lat_ms
+    # b1 latency rides the gate as a rate so "lower latency = higher value";
+    # the method is part of the key (b1_gate_key) — slope-measured rounds
+    # never gate against trace-measured history
+    results[b1_gate_key("mobilenetv1_uint8_b1_fps", u8_lat_method)] = (
+        1000.0 / u8_lat_ms
+    )
     sig = f" σ{u8_lat_sigma*1e3:.1f}us" if u8_lat_sigma is not None else ""
     print(
         f"[bench] {model} uint8: b1 device latency {u8_lat_ms:.3f} ms{sig} "
-        f"(trace method); {u8_ips:.0f} img/s (batch 128) vs baseline "
+        f"({u8_lat_method} method); {u8_ips:.0f} img/s (batch 128) vs baseline "
         f"{baseline_ips:.1f} img/s -> {u8_ips/baseline_ips:.0f}x",
         file=sys.stderr,
     )
@@ -373,8 +399,8 @@ def main():
             f"{y5_ms/8:.3f} ms/img device time",
             file=sys.stderr,
         )
-        face_ms, face_stages = bench_face_pipeline(max_faces=8)
-        results["face_pipeline_fps"] = 1000 / face_ms
+        face_ms, face_stages, face_method = bench_face_pipeline(max_faces=8)
+        results[b1_gate_key("face_pipeline_fps", face_method)] = 1000 / face_ms
         print(
             f"[bench] retinaface+mobilefacenet uint8 two-stage: "
             f"{1000/face_ms:.0f} frames/s (8 faces/frame worst case; "

@@ -69,12 +69,14 @@ def measure(model, scheme, batch):
     from bench import measure_b1_ms, measure_device_ms
 
     if batch == 1:
-        ms, sigma = measure_b1_ms(lambda: cg(x), sync)
+        ms, sigma, method = measure_b1_ms(lambda: cg(x), sync)
     else:
-        ms, sigma = measure_device_ms(lambda: cg(x), sync), None
+        ms, sigma, method = measure_device_ms(lambda: cg(x), sync), None, "slope"
     r = {"ms": ms, "img_s": batch / ms * 1e3, "compile_s": compile_s}
     if sigma is not None:
         r["sigma_ms"] = sigma
+    if batch == 1 and method != "trace":
+        r["method"] = method  # non-blessed fallback: tagged, never silent
     return r
 
 

@@ -2,7 +2,9 @@
 """Capture an XLA device trace of a quantized benchmark net and print the
 per-op device-time breakdown (top HLO ops by self time).
 
-Usage: python tools/tpu_trace.py [model] [batch] [scheme]
+Usage: python tools/tpu_trace.py [model] [batch] [scheme] [opt=val ...]
+  opt=val pairs are forwarded to Options (e.g. quant_native=on) — same
+  coercion as tools/quick_bench.py.
 """
 
 import glob
@@ -49,6 +51,17 @@ def main():
     model = sys.argv[1] if len(sys.argv) > 1 else "mobilenetv1"
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     scheme = sys.argv[3] if len(sys.argv) > 3 else "uint8"
+    over = {}
+    for kv in sys.argv[4:]:
+        k, v = kv.split("=", 1)
+        if v in ("True", "False"):
+            v = v == "True"
+        else:
+            try:
+                v = int(v)
+            except ValueError:
+                pass
+        over[k] = v
 
     import jax
     import tengine_tpu as tt
@@ -62,7 +75,9 @@ def main():
     shape = [int(d) for d in g.tensors[g.input_tensors[0]].shape]
     calib = [rng.standard_normal(shape).astype(np.float32)]
     qg = quantize_graph(g, calib, scheme=scheme, algorithm="minmax")
-    cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
+    cg = tt.compile_graph(
+        qg, Options(quant_mode="fast", batch_size=batch, **over)
+    )
     t_in = qg.tensors[qg.input_tensors[0]]
     shape[0] = batch
     xq = jax.device_put(
