@@ -534,6 +534,113 @@ def _env_stem_all() -> bool:
     return os.environ.get("TT_STEM_ALL", "") not in ("", "0")
 
 
+def _int_stored(ctx: LowerCtx, t) -> bool:
+    """Tensor stores its raw 1-byte integer dtype under the active storage
+    plan (native-int8 plan or quant_bf16_storage=False)."""
+    if not ctx.options.quant_bf16_storage:
+        return True
+    plan = getattr(ctx.graph, "_bf16_tids", None)
+    return plan is not None and t.idx not in plan
+
+
+def _pallas_dw_ok(ctx: LowerCtx) -> bool:
+    """ops/pallas/dw_conv.py — batch-in-lanes s8 depthwise kernel
+    (TT_DW_PALLAS gate). Needs: 1-byte-stored input/output, k in {3,5},
+    stride 1/2, dilation 1, batch >= 32 (batch rides the 128-lane axis)."""
+    import os
+
+    if os.environ.get("TT_DW_PALLAS", "0") in ("0", "off", ""):
+        return False
+    if not _fast_enabled(ctx) or not _no_fused_add(ctx):
+        return False
+    p = ctx.params
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    group = p.get("group", 1)
+    out_c = int(t_w.shape[0]) if t_w.shape else 0
+    if not (group > 1 and group == out_c and int(t_w.shape[1]) == 1):
+        return False
+    if t_in.quant is None or t_w.quant is None or t_out.quant is None:
+        return False
+    if t_in.quant.per_channel or t_out.quant.per_channel:
+        return False
+    if not t_in.shape or len(t_in.shape) != 4 or int(t_in.shape[0]) < 32:
+        return False
+    return (
+        p.get("activation", -1) != ACT_SILU
+        and p["kernel_h"] == p["kernel_w"]
+        and p["kernel_h"] in (3, 5)
+        and p["dilation_h"] == 1
+        and p["dilation_w"] == 1
+        and p["stride_h"] == p["stride_w"]
+        and p["stride_h"] in (1, 2)
+        and _int_stored(ctx, t_in)
+        and _int_stored(ctx, t_out)
+        and ctx.const_data(1) is not None
+    )
+
+
+@register_op("Convolution", score=SCORE_STATIC + 3, predicate=_pallas_dw_ok, quant=True)
+def lower_conv_quant_pallas_dw(ctx: LowerCtx, x: TArr, *rest: TArr):
+    """Depthwise conv + requant via the batch-in-lanes Pallas kernel
+    (ops/pallas/dw_conv.py) — bit-equal to the integer XLA branch (exact
+    int accumulation, identical dw_zp_fold epilogue)."""
+    from .pallas.dw_conv import dw_qconv_hwcn
+
+    p = ctx.params
+    t_in, t_w, t_out = ctx.in_tensor(0), ctx.in_tensor(1), ctx.out_tensor(0)
+    out_c = int(t_w.shape[0])
+    k = p["kernel_h"]
+    s_in = float(np.asarray(t_in.quant.scales).reshape(-1)[0])
+    zp_in = int(np.asarray(t_in.quant.zero_points).reshape(-1)[0])
+    w_scales = _wscales(t_w.quant, out_c)
+    s_out = float(np.asarray(t_out.quant.scales).reshape(-1)[0])
+    zp_out = int(np.asarray(t_out.quant.zero_points).reshape(-1)[0])
+    zp_w = (
+        0
+        if t_w.quant.per_channel
+        else int(np.asarray(t_w.quant.zero_points).reshape(-1)[0])
+    )
+
+    def w_taps():
+        raw = ctx.const_data(1).astype(np.float32) - zp_w  # [C,1,k,k] true
+        return np.ascontiguousarray(
+            raw[:, 0].transpose(1, 2, 0).reshape(k * k, out_c)
+        )
+
+    def mvec():
+        return (s_in * w_scales / s_out).astype(np.float32)
+
+    def bvec():
+        w_raw = ctx.const_data(1).astype(np.float64)
+        colsum = (w_raw - zp_w).reshape(out_c, -1).sum(axis=1)
+        b = (
+            ctx.const_data(2).astype(np.float64)
+            if ctx.num_inputs > 2
+            else 0.0
+        )
+        m = s_in * w_scales.astype(np.float64) / s_out
+        return ((b - zp_in * colsum) * m).astype(np.float32)
+
+    wf = ctx.get_param("dwp_w", w_taps)
+    M = ctx.get_param("dwp_m", mvec)
+    B = ctx.get_param("dwp_b", bvec)
+
+    xn = as_nhwc(x)
+    n, in_h, in_w, _ = xn.shape
+    (pt, pb), (pl_, pr) = _conv_pads(in_h, in_w, p, k, k)
+    lo, hi = qmath.qrange(t_out.dtype, t_out.quant)
+    xt = jnp.transpose(xn, (1, 2, 3, 0))
+    out = dw_qconv_hwcn(
+        xt, wf, M, B,
+        k=k, stride=p["stride_h"], pad_t=int(pt), pad_l=int(pl_),
+        pad_b=int(pb), pad_r=int(pr),
+        zp_in=zp_in, zp_out=zp_out, act=p.get("activation", -1),
+        s_out=s_out, lo=float(lo), hi=float(hi),
+        out_u8=t_out.dtype == DType.UINT8,
+    )
+    return nhwc(jnp.transpose(out, (3, 0, 1, 2)))
+
+
 def _pallas_stem_ok(ctx: LowerCtx) -> bool:
     """Fused stem kernel (ops/pallas/stem_conv.py): small-channel stride-2
     quantized conv on raw integer input — the first layer of every conv

@@ -87,6 +87,31 @@ def dw_s8_via_bf16(x, w, M, B, barrier=False):
     return requant(acc, M, B, jnp.int8, -127, 127).astype(jnp.int8)
 
 
+def dw_s8_wfold(x, w, M, B):
+    """dw s2 with W folded into channels: x [N,H,W,C] -> [N,H,W/2,2C]
+    (free minor-dim reshape), conv becomes stride (2,1), kw_f taps over
+    2 channels/group — exact (inserted taps are zero)."""
+    N_, H, W, C = map(int, x.shape)
+    pad_l = 1
+    xf = x.reshape(N_, H, W // 2, 2 * C)
+    # folded weights: [kh, kw_f, 2, C]; tap b -> (col (b-1)//2 +1? see map)
+    wf = np.zeros((K, 2, 2, C), np.int8)
+    w_ = np.asarray(w).reshape(K, K, C)  # [kh, kw, C]
+    for b in range(K):
+        col = (b - 1) // 2 + 1  # pad_l=1 shifts col index up by 1
+        phase = (b - 1) % 2
+        wf[:, col, phase, :] = w_[:, b, :]
+    acc = lax.conv_general_dilated(
+        xf, jnp.asarray(wf),
+        window_strides=(2, 1),
+        padding=((1, 1), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=C,
+        preferred_element_type=jnp.int32,
+    )
+    return requant(acc, M, B, jnp.int8, -127, 127).astype(jnp.int8)
+
+
 def time_op(fn, x):
     """Per-op device ms via the pipelined-dispatch slope method (bench.py:
     measure_device_ms — the tunnel RTT makes naive wall timing useless)."""
@@ -135,6 +160,10 @@ def main():
                 functools.partial(dw_s8_via_bf16, w=wb, M=M, B=B,
                                   barrier=True), x8, 1, 1,
             )
+        if "s8_fold" in want and s == 2:
+            variants["s8_fold"] = (
+                functools.partial(dw_s8_wfold, w=w8, M=M, B=B), x8, 1, 1
+            )
         if "pallas" in want:
             try:
                 from tengine_tpu.ops.pallas.dw_conv import dw_qconv
@@ -148,6 +177,40 @@ def main():
                 )
             except ImportError:
                 pass
+        if "pallas_floor" in want and s == 1:
+            # 1-tap variant of the same kernel: DMA + convert + epilogue +
+            # store floor, no window FMAs
+            from tengine_tpu.ops.pallas.dw_conv import dw_qconv_hwcn
+
+            x_hwcn1 = jnp.asarray(
+                np.ascontiguousarray(np.asarray(x8).transpose(1, 2, 3, 0))
+            )
+            w1 = jnp.asarray(np.ones((1, C), np.float32))
+            variants["pallas_floor"] = (
+                functools.partial(
+                    dw_qconv_hwcn, w=w1, M=M, B=B, k=1, stride=1, pad=0,
+                    zp_in=0, lo=-127.0, hi=127.0, act=-1,
+                ),
+                x_hwcn1, 1, 1,
+            )
+        if "pallas_hwcn" in want:
+            # kernel-native layout: batch already in lanes (what the
+            # in-graph boundary gives when producers are batch-minor)
+            from tengine_tpu.ops.pallas.dw_conv import dw_qconv_hwcn
+
+            x_hwcn = jnp.asarray(
+                np.ascontiguousarray(np.asarray(x8).transpose(1, 2, 3, 0))
+            )
+            wflat = jnp.asarray(
+                np.asarray(w8).reshape(K * K, C).astype(np.float32)
+            )
+            variants["pallas_hwcn"] = (
+                functools.partial(
+                    dw_qconv_hwcn, w=wflat, M=M, B=B, k=K, stride=s, pad=1,
+                    zp_in=0, lo=-127.0, hi=127.0, act=-1,
+                ),
+                x_hwcn, 1, 1,
+            )
 
         for name, (fn, xin, bin_, bout) in variants.items():
             try:
