@@ -65,10 +65,13 @@ def _graph(h: int):
 def prerun_graph(h: int, num_thread: int = 0, precision: int = -1) -> int:
     from .utils.config import Options
 
+    g = _graph(h)
+    if getattr(g, "_constructed", False):
+        finalize_constructed(h)
     opts = None
     if precision == 1:  # TENGINE_MODE_FP16 (c_api.h precision constants)
         opts = Options(precision="fp16")
-    _graph(h).preRun(opts)
+    g.preRun(opts)
     return 0
 
 
@@ -145,9 +148,17 @@ def tensor_buffer_size(h: int, tidx: int) -> int:
 
 
 def set_tensor_buffer(h: int, tidx: int, mem) -> int:
+    from .graph.ir import TensorType
+
     t = _graph(h).ir.tensors[tidx]
     shape = tensor_shape(h, tidx)
     arr = np.frombuffer(mem, dtype=t.dtype.np).reshape(shape).copy()
+    if t.tensor_type == TensorType.CONST:
+        # constructed-graph weight/bias upload (c_api.h:810 on a CONST
+        # tensor): the data lives in the IR like a loaded tmfile's
+        t.data = arr
+        _graph(h)._compiled = None
+        return 0
     _tensor(h, tidx).buf = arr
     return 0
 
@@ -273,6 +284,170 @@ def node_input_tensor_idx(h: int, nidx: int, i: int) -> int:
 def node_output_tensor_idx(h: int, nidx: int, i: int) -> int:
     outs = _graph(h).ir.nodes[nidx].outputs
     return outs[i] if 0 <= i < len(outs) else -1
+
+
+# ---- graph construction from C (c_api.h:477-520, 560-602, 766) ----
+#
+# The reference's own op unit tests build graphs through the public C API
+# (tests/op/test_onnx_op.h pattern): create an empty graph, add InputOp /
+# Const / op nodes, wire tensors, set shapes/buffers/attrs, then
+# prerun+run. This tier mirrors that: Const nodes exist only during
+# construction (their output tensors become data-carrying CONST tensors and
+# the node drops at finalize, matching our const-tensor execution model).
+
+_contexts: Dict[int, dict] = {}
+
+_CODE_DTYPE = {v: k for k, v in _DTYPE_CODE.items()}
+
+
+def create_graph_empty() -> int:
+    """create_graph(ctx, NULL, NULL) — an empty graph for C-side
+    construction."""
+    from .api import Graph
+    from .graph.ir import Graph as IRGraph
+
+    g = Graph(ir=IRGraph(name="c_constructed"))
+    g._constructed = True
+    h = next(_next)
+    _graphs[h] = g
+    return h
+
+
+def create_graph_node(h: int, name: str, op: str) -> int:
+    g = _graph(h)
+    n = g.ir.add_node(op, name, [], [], params={})
+    return n.idx
+
+
+def create_graph_tensor(h: int, name: str, dtype_code: int) -> int:
+    from .graph.ir import DType
+
+    g = _graph(h)
+    from .graph.ir import TensorType
+
+    np_name = _CODE_DTYPE.get(dtype_code, "float32")
+    dt = {
+        "float32": DType.FP32, "float16": DType.FP16, "int8": DType.INT8,
+        "uint8": DType.UINT8, "int32": DType.INT32, "int16": DType.INT16,
+    }[np_name]
+    t = g.ir.add_tensor(name, dt, [], TensorType.VAR)
+    return t.idx
+
+
+def set_node_input_tensor(h: int, nidx: int, input_idx: int, tidx: int) -> int:
+    g = _graph(h)
+    n = g.ir.nodes[nidx]
+    while len(n.inputs) <= input_idx:
+        n.inputs.append(-1)
+    n.inputs[input_idx] = tidx
+    t = g.ir.tensors[tidx]
+    if nidx not in t.consumers:
+        t.consumers.append(nidx)
+    return 0
+
+
+def set_node_output_tensor(h: int, nidx: int, output_idx: int, tidx: int,
+                           tensor_type: int) -> int:
+    from .graph.ir import TensorType
+
+    g = _graph(h)
+    n = g.ir.nodes[nidx]
+    while len(n.outputs) <= output_idx:
+        n.outputs.append(-1)
+    n.outputs[output_idx] = tidx
+    t = g.ir.tensors[tidx]
+    t.producer = nidx
+    t.tensor_type = TensorType(tensor_type)
+    return 0
+
+
+def set_node_attr(h: int, nidx: int, name: str, value, is_int: int) -> int:
+    """set_node_attr_int/float (c_api.h:686-700): op params by name."""
+    g = _graph(h)
+    g.ir.nodes[nidx].params[name] = int(value) if is_int else float(value)
+    return 0
+
+
+def get_node_attr(h: int, nidx: int, name: str):
+    v = _graph(h).ir.nodes[nidx].params.get(name)
+    return v
+
+
+def set_graph_io_nodes(h: int, input_names, output_names) -> int:
+    """set_graph_input_node / set_graph_output_node (c_api.h:385-396)."""
+    g = _graph(h)
+    if input_names:
+        idxs = [node_idx_by_name(h, s) for s in input_names]
+        if any(i < 0 for i in idxs):
+            return -1
+        g.ir.inputs = idxs
+    if output_names:
+        idxs = [node_idx_by_name(h, s) for s in output_names]
+        if any(i < 0 for i in idxs):
+            return -1
+        g.ir.outputs = idxs
+    return 0
+
+
+def finalize_constructed(h: int) -> int:
+    """Pre-compile normalization for C-constructed graphs (called from
+    prerun): Const nodes drop (their tensors carry the data), graph I/O
+    defaults to InputOp nodes / consumerless non-const outputs."""
+    g = _graph(h)
+    ir = g.ir
+    for n in ir.nodes:
+        if n.op == "Const":
+            for tid in n.outputs:
+                ir.tensors[tid].producer = None
+            n.op = "Noop"
+            n.inputs = []
+            n.outputs = []
+    if not ir.inputs:
+        ir.inputs = [n.idx for n in ir.nodes if n.op == "InputOp"]
+    if not ir.outputs:
+        outs = []
+        for n in ir.nodes:
+            if n.op in ("Noop", "InputOp", "Const"):
+                continue
+            if any(not ir.tensors[t].consumers for t in n.outputs):
+                outs.append(n.idx)
+        ir.outputs = outs
+    return 0
+
+
+def wait_graph(h: int, try_wait: int = 1) -> int:
+    """wait_graph (c_api.h:1038): run() is synchronous (the reference's
+    sync scheduler also cannot run non-blocking, scheduler.c:76-79)."""
+    _graph(h)
+    return 0
+
+
+def create_context(name: str, empty: int) -> int:
+    """create_context (c_api.h:1120). Devices are informational: the engine
+    always compiles to the one XLA target; set_context_device records the
+    request for get_context_device_number parity."""
+    h = next(_next)
+    _contexts[h] = {"name": name or "", "devices": [] if empty else ["TPU"]}
+    return h
+
+
+def destroy_context(h: int) -> int:
+    _contexts.pop(h, None)
+    return 0
+
+
+def set_context_device(h: int, dev_name: str) -> int:
+    c = _contexts.get(h)
+    if c is None:
+        return -1
+    if dev_name not in c["devices"]:
+        c["devices"].append(dev_name)
+    return 0
+
+
+def get_context_device_number(h: int) -> int:
+    c = _contexts.get(h)
+    return len(c["devices"]) if c else 0
 
 
 # ---- C-side custom kernels (c_api.h:183-309, set_custom_kernel :742) ----

@@ -29,6 +29,14 @@
  *     (the custom_kernel_ops struct is parsed on the Python side via
  *      ctypes from the pointer we forward; its run() executes as a host
  *      callback inside the jitted program)
+ *   graph construction (r5): create_graph(ctx, NULL, NULL) /
+ *     create_graph_node / create_graph_tensor /
+ *     set_node_input_tensor / set_node_output_tensor /
+ *     set_node_attr_int/float + get_ counterparts /
+ *     set_graph_input_node / set_graph_output_node /
+ *     release_graph_tensor / release_graph_node / wait_graph     (c_api.h:477-602, 766, 1038)
+ *   contexts: create_context / destroy_context / set_context_device /
+ *     get_context_device_number                                  (c_api.h:1120-1186)
  *
  * Build: gcc -shared -fPIC c_api_shim.c -lpython3.x (native/__init__.py
  * :build_capi does this on demand). Embedders link the result exactly like
@@ -157,6 +165,12 @@ const char* get_tengine_version(void)
 graph_t create_graph(context_t context, const char* model_format, const char* file_name, ...)
 {
     (void)context;
+    if (model_format == NULL) {
+        /* create_graph(ctx, NULL, NULL): empty graph for C-side
+         * construction (c_api.c:368, tests/op pattern) */
+        long h = ret_long(bridge_call("create_graph_empty", ""), 0);
+        return (graph_t)(uintptr_t)h;
+    }
     /* "<fmt>:m" = load from memory: file_name is the buffer address and one
      * vararg carries the byte size (c_api.c:400-421) */
     const char* colon = model_format ? strchr(model_format, ':') : NULL;
@@ -447,4 +461,175 @@ int remove_custom_kernel(node_t node, const char* dev_name)
         bridge_call("remove_custom_kernel", "(lls)", T_GRAPH(node), T_IDX(node),
                     dev_name ? dev_name : ""),
         -1);
+}
+
+/* ---- graph construction from C (c_api.h:477-520, 560-602, 766) ----
+ * The reference's op unit tests build graphs through this tier
+ * (tests/op/test_onnx_op.h): empty graph + InputOp/Const/op nodes, tensors
+ * wired by index, attrs by name, then the normal prerun/run path. */
+
+node_t create_graph_node(graph_t graph, const char* node_name, const char* op_name)
+{
+    long n = ret_long(
+        bridge_call("create_graph_node", "(lss)", (long)(uintptr_t)graph,
+                    node_name, op_name),
+        -1);
+    return n < 0 ? NULL : T_HANDLE((uintptr_t)graph, n);
+}
+
+tensor_t create_graph_tensor(graph_t graph, const char* tensor_name, int data_type)
+{
+    long t = ret_long(
+        bridge_call("create_graph_tensor", "(lsi)", (long)(uintptr_t)graph,
+                    tensor_name, data_type),
+        -1);
+    return t < 0 ? NULL : T_HANDLE((uintptr_t)graph, t);
+}
+
+int set_node_input_tensor(node_t node, int input_idx, tensor_t tensor)
+{
+    return (int)ret_long(
+        bridge_call("set_node_input_tensor", "(llil)", T_GRAPH(node),
+                    T_IDX(node), input_idx, T_IDX(tensor)),
+        -1);
+}
+
+int set_node_output_tensor(node_t node, int output_idx, tensor_t tensor, int tensor_type)
+{
+    return (int)ret_long(
+        bridge_call("set_node_output_tensor", "(llili)", T_GRAPH(node),
+                    T_IDX(node), output_idx, T_IDX(tensor), tensor_type),
+        -1);
+}
+
+/* node attrs map to op params by name (set_node_attr_int, c_api.h:686) */
+int set_node_attr_int(node_t node, const char* attr_name, const int* attr_val)
+{
+    return (int)ret_long(
+        bridge_call("set_node_attr", "(llsii)", T_GRAPH(node), T_IDX(node),
+                    attr_name, *attr_val, 1),
+        -1);
+}
+
+int set_node_attr_float(node_t node, const char* attr_name, const float* attr_val)
+{
+    return (int)ret_long(
+        bridge_call("set_node_attr", "(llsfi)", T_GRAPH(node), T_IDX(node),
+                    attr_name, (double)*attr_val, 0),
+        -1);
+}
+
+int get_node_attr_int(node_t node, const char* attr_name, int* attr_val)
+{
+    PyObject* r = bridge_call("get_node_attr", "(lls)", T_GRAPH(node), T_IDX(node), attr_name);
+    if (!r)
+        return -1;
+    PyGILState_STATE st = PyGILState_Ensure();
+    int rc = -1;
+    if (PyLong_Check(r)) {
+        *attr_val = (int)PyLong_AsLong(r);
+        rc = 0;
+    } else if (PyFloat_Check(r)) {
+        *attr_val = (int)PyFloat_AsDouble(r);
+        rc = 0;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return rc;
+}
+
+int get_node_attr_float(node_t node, const char* attr_name, float* attr_val)
+{
+    PyObject* r = bridge_call("get_node_attr", "(lls)", T_GRAPH(node), T_IDX(node), attr_name);
+    if (!r)
+        return -1;
+    PyGILState_STATE st = PyGILState_Ensure();
+    int rc = -1;
+    if (PyFloat_Check(r) || PyLong_Check(r)) {
+        *attr_val = (float)PyFloat_AsDouble(r);
+        rc = 0;
+    }
+    Py_DECREF(r);
+    PyGILState_Release(st);
+    return rc;
+}
+
+static PyObject* name_list(const char* names[], int number)
+{
+    PyObject* lst = PyList_New(number);
+    for (int i = 0; i < number; i++)
+        PyList_SetItem(lst, i, PyUnicode_FromString(names[i]));
+    return lst;
+}
+
+int set_graph_input_node(graph_t graph, const char* input_nodes[], int input_number)
+{
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* lst = name_list(input_nodes, input_number);
+    PyGILState_Release(st);
+    PyObject* r = bridge_call("set_graph_io_nodes", "(lOO)", (long)(uintptr_t)graph, lst, Py_None);
+    st = PyGILState_Ensure();
+    Py_DECREF(lst);
+    PyGILState_Release(st);
+    return (int)ret_long(r, -1);
+}
+
+int set_graph_output_node(graph_t graph, const char* output_nodes[], int output_number)
+{
+    PyGILState_STATE st = PyGILState_Ensure();
+    PyObject* lst = name_list(output_nodes, output_number);
+    PyGILState_Release(st);
+    PyObject* r = bridge_call("set_graph_io_nodes", "(lOO)", (long)(uintptr_t)graph, Py_None, lst);
+    st = PyGILState_Ensure();
+    Py_DECREF(lst);
+    PyGILState_Release(st);
+    return (int)ret_long(r, -1);
+}
+
+int wait_graph(graph_t graph, int try_wait)
+{
+    return (int)ret_long(
+        bridge_call("wait_graph", "(li)", (long)(uintptr_t)graph, try_wait), -1);
+}
+
+/* the reference refcounts these handles; ours are plain (graph, idx) packs
+ * owned by the IR, so release is a no-op — same as its exit path */
+void release_graph_tensor(tensor_t tensor) { (void)tensor; }
+void release_graph_node(node_t node) { (void)node; }
+
+/* ---- contexts / devices (c_api.h:1120-1186) ---- */
+
+context_t create_context(const char* context_name, int empty_context)
+{
+    long h = ret_long(
+        bridge_call("create_context", "(si)", context_name ? context_name : "",
+                    empty_context),
+        0);
+    return (context_t)(uintptr_t)h;
+}
+
+void destroy_context(context_t context)
+{
+    PyObject* r = bridge_call("destroy_context", "(l)", (long)(uintptr_t)context);
+    if (r) {
+        PyGILState_STATE st = PyGILState_Ensure();
+        Py_DECREF(r);
+        PyGILState_Release(st);
+    }
+}
+
+int set_context_device(context_t context, const char* dev_name, const void* dev_option, size_t dev_opt_size)
+{
+    (void)dev_option;
+    (void)dev_opt_size; /* device options are informational: one XLA target */
+    return (int)ret_long(
+        bridge_call("set_context_device", "(ls)", (long)(uintptr_t)context,
+                    dev_name ? dev_name : ""),
+        -1);
+}
+
+int get_context_device_number(context_t context)
+{
+    return (int)ret_long(
+        bridge_call("get_context_device_number", "(l)", (long)(uintptr_t)context), -1);
 }

@@ -559,11 +559,22 @@ def _pallas_dw_ok(ctx: LowerCtx) -> bool:
     out_c = int(t_w.shape[0]) if t_w.shape else 0
     if not (group > 1 and group == out_c and int(t_w.shape[1]) == 1):
         return False
+    if out_c % 32 != 0:
+        return False  # s8 sublane tile (32,128): C=16 layers (mbv3) misfit
     if t_in.quant is None or t_w.quant is None or t_out.quant is None:
         return False
     if t_in.quant.per_channel or t_out.quant.per_channel:
         return False
-    if not t_in.shape or len(t_in.shape) != 4 or int(t_in.shape[0]) < 32:
+    # IR shapes may be unfilled (quant_native='on' skips the auto-gate's
+    # infer_shapes) — only reject a POSITIVELY wrong rank
+    if t_in.shape and len(t_in.shape) != 4:
+        return False
+    # runtime batch: Options.batch_size overrides the IR's stored batch
+    # (tmfile graphs carry batch 1)
+    batch = ctx.options.batch_size or (
+        int(t_in.shape[0]) if t_in.shape else 1
+    )
+    if batch < 32:
         return False
     return (
         p.get("activation", -1) != ACT_SILU

@@ -363,3 +363,211 @@ def test_embed_mode_extended(capi_lib, tmp_path):
     assert "node0 op=" in r.stdout
     out = np.fromfile(yout, np.float32).reshape(want.shape)
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ABI breadth (VERDICT r4 item 8): the graph-CONSTRUCTION / context
+# tier — build a conv graph entirely from C (the reference's own op-test
+# pattern, tests/op/test_onnx_op.h / test_opendla_op_fc.cpp:49-90), run it,
+# and read the output. Covers create_graph(NULL,NULL,NULL),
+# create_graph_node/tensor, set_node_input/output_tensor, node attrs,
+# set_graph_input/output_node, contexts/devices, wait_graph.
+# ---------------------------------------------------------------------------
+
+C_DRIVER3 = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+typedef void* context_t; typedef void* graph_t; typedef void* tensor_t;
+typedef void* node_t;
+#define TENGINE_DT_FP32 0
+#define TENSOR_TYPE_VAR 1
+#define TENSOR_TYPE_CONST 2
+#define TENSOR_TYPE_INPUT 3
+
+extern int init_tengine(void);
+extern context_t create_context(const char*, int);
+extern void destroy_context(context_t);
+extern int set_context_device(context_t, const char*, const void*, size_t);
+extern int get_context_device_number(context_t);
+extern graph_t create_graph(context_t, const char*, const char*, ...);
+extern node_t create_graph_node(graph_t, const char*, const char*);
+extern tensor_t create_graph_tensor(graph_t, const char*, int);
+extern int set_node_input_tensor(node_t, int, tensor_t);
+extern int set_node_output_tensor(node_t, int, tensor_t, int);
+extern int set_node_attr_int(node_t, const char*, const int*);
+extern int get_node_attr_int(node_t, const char*, int*);
+extern int set_graph_input_node(graph_t, const char*[], int);
+extern int set_graph_output_node(graph_t, const char*[], int);
+extern int set_tensor_shape(tensor_t, const int*, int);
+extern int set_tensor_buffer(tensor_t, void*, int);
+extern int get_tensor_buffer_size(tensor_t);
+extern void* get_tensor_buffer(tensor_t);
+extern int prerun_graph(graph_t);
+extern int run_graph(graph_t, int);
+extern int wait_graph(graph_t, int);
+extern tensor_t get_graph_output_tensor(graph_t, int, int);
+extern void release_graph_tensor(tensor_t);
+extern void release_graph_node(node_t);
+extern int destroy_graph(graph_t);
+
+static int seti(node_t n, const char* name, int v)
+{ return set_node_attr_int(n, name, &v); }
+
+int main(int argc, char** argv)
+{
+    (void)argc;
+    if (init_tengine() != 0) return 1;
+
+    context_t ctx = create_context("c_build", 1);
+    if (set_context_device(ctx, "TPU", NULL, 0) != 0) return 2;
+    if (get_context_device_number(ctx) != 1) return 3;
+
+    graph_t g = create_graph(ctx, NULL, NULL);
+    if (!g) { fprintf(stderr, "empty create_graph failed\n"); return 4; }
+
+    /* input node */
+    node_t in_node = create_graph_node(g, "input", "InputOp");
+    tensor_t t_x = create_graph_tensor(g, "data", TENGINE_DT_FP32);
+    if (!in_node || !t_x) return 5;
+    if (set_node_output_tensor(in_node, 0, t_x, TENSOR_TYPE_INPUT) != 0) return 6;
+    int xdims[4] = {1, 3, 8, 8};
+    if (set_tensor_shape(t_x, xdims, 4) != 0) return 7;
+
+    /* weight + bias const nodes */
+    node_t w_node = create_graph_node(g, "conv/w", "Const");
+    tensor_t t_w = create_graph_tensor(g, "conv/w", TENGINE_DT_FP32);
+    set_node_output_tensor(w_node, 0, t_w, TENSOR_TYPE_CONST);
+    int wdims[4] = {4, 3, 3, 3};
+    set_tensor_shape(t_w, wdims, 4);
+    node_t b_node = create_graph_node(g, "conv/b", "Const");
+    tensor_t t_b = create_graph_tensor(g, "conv/b", TENGINE_DT_FP32);
+    set_node_output_tensor(b_node, 0, t_b, TENSOR_TYPE_CONST);
+    int bdims[1] = {4};
+    set_tensor_shape(t_b, bdims, 1);
+
+    /* the conv node (test_opendla_op_fc.cpp:58-90 pattern) */
+    node_t conv = create_graph_node(g, "conv", "Convolution");
+    if (!conv) return 8;
+    set_node_input_tensor(conv, 0, t_x);
+    set_node_input_tensor(conv, 1, t_w);
+    set_node_input_tensor(conv, 2, t_b);
+    tensor_t t_y = create_graph_tensor(g, "y", TENGINE_DT_FP32);
+    set_node_output_tensor(conv, 0, t_y, TENSOR_TYPE_VAR);
+    seti(conv, "kernel_h", 3); seti(conv, "kernel_w", 3);
+    seti(conv, "stride_h", 1); seti(conv, "stride_w", 1);
+    seti(conv, "dilation_h", 1); seti(conv, "dilation_w", 1);
+    seti(conv, "pad_h0", 1); seti(conv, "pad_h1", 1);
+    seti(conv, "pad_w0", 1); seti(conv, "pad_w1", 1);
+    seti(conv, "group", 1); seti(conv, "activation", 0);
+    seti(conv, "input_channel", 3); seti(conv, "output_channel", 4);
+    int back = -1;
+    if (get_node_attr_int(conv, "kernel_h", &back) != 0 || back != 3) return 9;
+
+    const char* ins[1] = {"input"};
+    const char* outs[1] = {"conv"};
+    if (set_graph_input_node(g, ins, 1) != 0) return 10;
+    if (set_graph_output_node(g, outs, 1) != 0) return 11;
+
+    /* weights/bias/input data from files */
+    float wbuf[4 * 3 * 3 * 3]; float bbuf[4]; float xbuf[3 * 8 * 8];
+    FILE* f = fopen(argv[1], "rb");
+    if (fread(xbuf, sizeof(float), 3 * 8 * 8, f) != 3 * 8 * 8) return 12;
+    if (fread(wbuf, sizeof(float), 108, f) != 108) return 13;
+    if (fread(bbuf, sizeof(float), 4, f) != 4) return 14;
+    fclose(f);
+    if (set_tensor_buffer(t_w, wbuf, sizeof(wbuf)) != 0) return 15;
+    if (set_tensor_buffer(t_b, bbuf, sizeof(bbuf)) != 0) return 16;
+    if (set_tensor_buffer(t_x, xbuf, sizeof(xbuf)) != 0) return 17;
+
+    if (prerun_graph(g) != 0) return 18;
+    if (run_graph(g, 1) != 0) return 19;
+    if (wait_graph(g, 1) != 0) return 20;
+
+    tensor_t t_out = get_graph_output_tensor(g, 0, 0);
+    int nbytes = get_tensor_buffer_size(t_out);
+    float* y = (float*)get_tensor_buffer(t_out);
+    if (!y || nbytes != 4 * 8 * 8 * 4) return 21;
+    f = fopen(argv[2], "wb");
+    fwrite(y, 1, nbytes, f);
+    fclose(f);
+
+    release_graph_tensor(t_y);
+    release_graph_node(conv);
+    destroy_graph(g);
+    destroy_context(ctx);
+    printf("driver3 ok\n");
+    return 0;
+}
+"""
+
+
+def test_embed_mode_construction(capi_lib, tmp_path):
+    """Build a conv graph entirely from C, run it, diff against the same
+    graph built in Python — the reference op-test pattern end to end."""
+    from tengine_tpu.executor.engine import compile_graph
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_execute_small import make_conv_graph
+
+    rng = np.random.default_rng(21)
+    g, w, b = make_conv_graph(
+        in_shape=(1, 3, 8, 8), out_c=4, activation=0, rng=rng
+    )
+    x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+    golden = np.asarray(compile_graph(g).run(x)[0])
+
+    src = tmp_path / "driver3.c"
+    src.write_text(C_DRIVER3)
+    exe = tmp_path / "driver3"
+    libdir = sysconfig.get_config_var("LIBDIR") or "/usr/local/lib"
+    subprocess.run(
+        ["gcc", "-O1", str(src), capi_lib, f"-Wl,-rpath,{os.path.dirname(capi_lib)}",
+         f"-Wl,-rpath,{libdir}", "-o", str(exe)],
+        check=True, capture_output=True,
+    )
+    blob = tmp_path / "xwb.bin"
+    with open(blob, "wb") as f:
+        f.write(np.ascontiguousarray(x).tobytes())
+        f.write(np.ascontiguousarray(w).tobytes())
+        f.write(np.ascontiguousarray(b).tobytes())
+    yout = tmp_path / "y.bin"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, PYTHONPATH=repo, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [str(exe), str(blob), str(yout)],
+        capture_output=True, text=True, env=env, timeout=300,
+    )
+    assert r.returncode == 0, f"driver3 rc={r.returncode}:\n{r.stdout}\n{r.stderr}"
+    assert "driver3 ok" in r.stdout
+    out = np.fromfile(yout, np.float32).reshape(golden.shape)
+    np.testing.assert_allclose(out, golden, rtol=1e-5, atol=1e-5)
+
+
+def test_attach_mode_construction(capi_lib):
+    """The same construction tier through ctypes attach mode (covers the
+    bridge functions without a subprocess)."""
+    lib = ctypes.CDLL(capi_lib)
+    lib.create_graph.restype = ctypes.c_void_p
+    lib.create_graph_node.restype = ctypes.c_void_p
+    lib.create_graph_node.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_char_p]
+    lib.create_graph_tensor.restype = ctypes.c_void_p
+    lib.create_graph_tensor.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+    lib.set_node_output_tensor.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+    lib.set_node_input_tensor.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
+    lib.set_tensor_shape.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int]
+    lib.set_node_attr_int.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int)]
+
+    assert lib.init_tengine() == 0
+    g = lib.create_graph(None, None, None)
+    assert g
+    node = lib.create_graph_node(g, b"n0", b"InputOp")
+    t = lib.create_graph_tensor(g, b"t0", 0)
+    assert node and t
+    assert lib.set_node_output_tensor(node, 0, t, 3) == 0
+    dims = (ctypes.c_int * 4)(1, 3, 4, 4)
+    assert lib.set_tensor_shape(t, dims, 4) == 0
+    conv = lib.create_graph_node(g, b"c0", b"Convolution")
+    v = ctypes.c_int(3)
+    assert lib.set_node_attr_int(conv, b"kernel_h", ctypes.byref(v)) == 0
