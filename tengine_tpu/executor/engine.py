@@ -276,7 +276,7 @@ def _plan_quant_storage(graph: Graph) -> set:
         # f32->s8 convert chain (dw conv emitters degrade when their output
         # fusion narrows to s8), while 1x1-conv producers are neutral. Keep
         # window-op outputs bf16.
-        if n.op in ("Pooling", "Deconvolution", "FusedDwPwConv", "Interp",
+        if n.op in ("Pooling", "Deconvolution", "Interp",
                     "Upsample", "BilinearResize", "LRN"):
             need.update(n.outputs)
         elif n.op == "Convolution" and (
@@ -288,9 +288,6 @@ def _plan_quant_storage(graph: Graph) -> set:
             if n.op in ("Convolution", "Deconvolution"):
                 if pos == 0 and p.get("kernel_h", 1) * p.get("kernel_w", 1) > 1:
                     need.add(tid)
-            elif n.op == "FusedDwPwConv":
-                if pos == 0:
-                    need.add(tid)  # starts with a dw 3x3 window
             elif n.op == "Pooling":
                 if p.get("global_pool"):
                     continue  # raw-integer fast path (lower_global_avgpool)
@@ -442,18 +439,6 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
             graph,
             min_cmid=0 if options.fuse_resblock else options.chain_min_cmid,
         )
-    if fast_quant and options.quant_relaxed and options.fuse_dwchain:
-        # mobilenet-family dw+pw runs -> whole-chain Pallas kernels
-        # (relaxed tier; see Options.fuse_dwchain)
-        from ..graph.passes import fuse_dwpw_chains
-
-        graph = graph.clone()
-        fuse_dwpw_chains(graph)
-    if fast_quant and options.fuse_dwpw:
-        from ..graph.passes import fuse_dwpw
-
-        graph = graph.clone()  # rewrites are per-compile, never in place
-        fuse_dwpw(graph, require_c128=options.quant_bf16_storage)
     if fast_quant:
         # residual eltwise-sums fold into the conv requant epilogue: the
         # pallas direct-conv kernel (int-storage path) or the XLA conv

@@ -648,207 +648,12 @@ def decompose_spp(g: Graph) -> int:
     return rewrites
 
 
-def _is_dw3x3(g: Graph, n: Node) -> bool:
-    """Depthwise 3x3, pad 1 on all sides (or stride-1 SAME), stride 1 or 2,
-    no dilation — the envelope of the fused Pallas block kernel."""
-    if n.op != "Convolution" or len(n.inputs) < 2:
-        return False
-    p = n.params
-    wt = g.tensors[n.inputs[1]]
-    if len(wt.shape) != 4 or wt.shape[1] != 1:
-        return False
-    c = wt.shape[0]
-    pads = [p.get(k, 0) for k in ("pad_h0", "pad_h1", "pad_w0", "pad_w1")]
-    stride = p.get("stride_h", 1)
-    pads_ok = all(pd == 1 for pd in pads) or (
-        stride == 1 and all(pd < 0 for pd in pads)  # SAME at k=3,s=1 == (1,1)
-    )
-    return (
-        p.get("kernel_h") == 3
-        and p.get("kernel_w") == 3
-        and p.get("dilation_h", 1) == 1
-        and p.get("dilation_w", 1) == 1
-        and pads_ok
-        and stride in (1, 2)
-        and p.get("stride_w", 1) == stride
-        and p.get("group", 1) == c
-    )
-
-
-def _is_pw1x1(g: Graph, n: Node) -> bool:
-    if n.op != "Convolution" or len(n.inputs) < 2:
-        return False
-    p = n.params
-    return (
-        p.get("kernel_h") == 1
-        and p.get("kernel_w") == 1
-        and p.get("group", 1) == 1
-        and p.get("stride_h", 1) == 1
-        and p.get("stride_w", 1) == 1
-        and all(p.get(k, 0) == 0 for k in ("pad_h0", "pad_h1", "pad_w0", "pad_w1"))
-    )
-
-
 def _act_quant_ok(t) -> bool:
     return (
         t.quant is not None
         and not t.quant.per_channel
         and t.dtype.name in ("UINT8", "INT8")
     )
-
-
-def fuse_dwpw(g: Graph, require_c128: bool = False) -> int:
-    """Fuse quantized depthwise-3x3 -> pointwise-1x1 pairs (the
-    mobilenet-family block) into one `FusedDwPwConv` node, lowered to a
-    single Pallas kernel that keeps the depthwise intermediate in VMEM
-    (ops/pallas/fused_dwpw.py). The reference fuses at a different
-    granularity (conv+relu, graph_opt.cpp) — on TPU the win is HBM traffic,
-    so the fusion boundary is the whole block. Returns number of fusions."""
-    fused = 0
-    for dw in list(g.nodes):
-        if not _is_dw3x3(g, dw):
-            continue
-        if require_c128 and int(g.tensors[dw.inputs[1]].shape[0]) % 128 != 0:
-            continue  # bf16-storage kernel needs 128-aligned lanes
-        pw = _single_consumer(g, dw)
-        if pw is None or not _is_pw1x1(g, pw) or pw.inputs[0] != dw.outputs[0]:
-            continue
-        if dw.idx in g.outputs:
-            continue
-        mid = g.tensors[dw.outputs[0]]
-        t_x = g.tensors[dw.inputs[0]]
-        t_out = g.tensors[pw.outputs[0]]
-        # quantized activations per-tensor, same scheme end-to-end
-        if not (_act_quant_ok(t_x) and _act_quant_ok(mid) and _act_quant_ok(t_out)):
-            continue
-        if not (t_x.dtype == mid.dtype == t_out.dtype):
-            continue
-        if g.tensors[dw.inputs[1]].quant is None or g.tensors[pw.inputs[1]].quant is None:
-            continue
-
-        inputs = list(dw.inputs)  # x, wd[, bd]
-        wp_pos = len(inputs)
-        inputs += pw.inputs[1:]  # wp[, bp]
-        params = dict(
-            stride=dw.params.get("stride_h", 1),
-            act_d=dw.params.get("activation", -1),
-            act_p=pw.params.get("activation", -1),
-            mid_tid=mid.idx,
-            wp_pos=wp_pos,
-            bd_pos=2 if len(dw.inputs) > 2 else -1,
-            bp_pos=wp_pos + 1 if len(pw.inputs) > 2 else -1,
-        )
-        out_tid = pw.outputs[0]
-        for tid in set(dw.inputs + pw.inputs):
-            g.tensors[tid].consumers = [
-                c for c in g.tensors[tid].consumers if c not in (dw.idx, pw.idx)
-            ]
-        node = g.add_node("FusedDwPwConv", f"{dw.name}+{pw.name}", inputs, [out_tid], params)
-        mid.consumers = []
-        if pw.idx in g.outputs:
-            g.outputs = [node.idx if o == pw.idx else o for o in g.outputs]
-        for shell in (dw, pw):
-            shell.op = "Noop"
-            shell.inputs = []
-            shell.outputs = []
-        fused += 1
-    return fused
-
-
-def fuse_dwpw_chains(g: Graph, max_blocks: int = 8) -> int:
-    """Fuse RUNS of stride-1 quantized dw3x3 -> pw1x1 blocks (the mobilenet
-    family's separable stacks) into `FusedDwPwChain` nodes, lowered to the
-    whole-chain Pallas kernel (ops/pallas/dwchain.py) that keeps every
-    intermediate in VMEM. Relaxed-tier only (the chain carries unrounded
-    f32 between layers); the engine gates on Options.quant_relaxed.
-    Chains break at stride-2 dw layers, multi-consumer tensors, and graph
-    outputs. Returns the number of blocks fused."""
-    pairs = {}
-    for dw in g.nodes:
-        if not _is_dw3x3(g, dw) or dw.params.get("stride_h", 1) != 1:
-            continue
-        pw = _single_consumer(g, dw)
-        if pw is None or not _is_pw1x1(g, pw) or pw.inputs[0] != dw.outputs[0]:
-            continue
-        if dw.idx in g.outputs or pw.idx in g.outputs:
-            continue
-        mid = g.tensors[dw.outputs[0]]
-        t_x = g.tensors[dw.inputs[0]]
-        t_out = g.tensors[pw.outputs[0]]
-        if not (_act_quant_ok(t_x) and _act_quant_ok(mid) and _act_quant_ok(t_out)):
-            continue
-        if not (t_x.dtype == mid.dtype == t_out.dtype):
-            continue
-        t_wd = g.tensors[dw.inputs[1]]
-        t_wp = g.tensors[pw.inputs[1]]
-        if t_wd.quant is None or t_wp.quant is None:
-            continue
-        if t_wd.data is None or t_wp.data is None:
-            continue
-        pairs[dw.inputs[0]] = dict(dw=dw, pw=pw, out_tid=pw.outputs[0])
-
-    fused = 0
-    consumed = set()
-    heads = [
-        x_tid for x_tid, m in pairs.items()
-        if not (
-            x_tid in (p["out_tid"] for p in pairs.values())
-            and len(_consumers_of(g, x_tid)) == 1
-        )
-    ]
-    for head in heads:
-        if head not in pairs or pairs[head]["dw"].idx in consumed:
-            continue
-        chain = [pairs[head]]
-        while len(chain) < max_blocks:
-            out_tid = chain[-1]["out_tid"]
-            nxt = pairs.get(out_tid)
-            if nxt is None or nxt["dw"].idx in consumed:
-                break
-            if _consumers_of(g, out_tid) != [nxt["dw"].idx]:
-                break
-            chain.append(nxt)
-        inputs = [head]
-        blocks = []
-        shells = []
-        for m in chain:
-            dw, pw = m["dw"], m["pw"]
-            consumed.add(dw.idx)
-            wd_pos = len(inputs); inputs.append(dw.inputs[1])
-            bd_pos = -1
-            if len(dw.inputs) > 2:
-                bd_pos = len(inputs); inputs.append(dw.inputs[2])
-            wp_pos = len(inputs); inputs.append(pw.inputs[1])
-            bp_pos = -1
-            if len(pw.inputs) > 2:
-                bp_pos = len(inputs); inputs.append(pw.inputs[2])
-            blocks.append(dict(
-                mid_tid=dw.outputs[0], out_tid=pw.outputs[0],
-                act_d=dw.params.get("activation", -1),
-                act_p=pw.params.get("activation", -1),
-                wd_pos=wd_pos, bd_pos=bd_pos, wp_pos=wp_pos, bp_pos=bp_pos,
-            ))
-            shells.append(dw); shells.append(pw)
-        out_tid = chain[-1]["out_tid"]
-        for n in shells:
-            for tid in set(n.inputs):
-                g.tensors[tid].consumers = [
-                    c for c in g.tensors[tid].consumers if c != n.idx
-                ]
-        node = g.add_node(
-            "FusedDwPwChain",
-            f"dwchain[{chain[0]['dw'].name}..x{len(chain)}]",
-            inputs, [out_tid], dict(blocks=blocks),
-        )
-        g.tensors[out_tid].producer = node.idx
-        for m in chain[:-1]:
-            g.tensors[m["out_tid"]].consumers = []
-        for m in chain:
-            g.tensors[m["dw"].outputs[0]].consumers = []
-        for n in shells:
-            n.op = "Noop"; n.inputs = []; n.outputs = []
-        fused += len(chain)
-    return fused
 
 
 def _conv_residual_ok(g: Graph, n: Node, geometry: str = "pallas") -> bool:

@@ -1,5 +1,12 @@
 """Pallas TPU kernel: fused quantized residual-block chains (ResNet bottlenecks).
 
+Forward role (r5 adjudication): the legacy-path winner for bottleneck
+chains — fuse_resblock=True (or the relaxed legacy tier via chain_min_cmid)
+selects it; under the default native-int8 plan XLA's s8 fusions win
+(ARCHITECTURE r4) so it rides opt-in. Retained because it is the only
+engine that beats XLA when 1-byte storage is required without s8 conv
+emitters (and as the VMEM-chain reference design qconv/stem built on).
+
 The round-2 device traces (ARCHITECTURE.md "Round-2 perf findings") showed the
 ResNet-50 int8 residual-block convs ~70% HBM-bandwidth-bound on the XLA
 bf16-storage path: every 1x1 -> 3x3 -> 1x1 (+residual) block streams its

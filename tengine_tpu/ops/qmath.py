@@ -91,6 +91,18 @@ def requantize(
         zps = zps.reshape(shape)
     q = round_away(x / scales) + zps
     store = jnp.bfloat16 if store_bf16 else dtype.np
+    return clip_cast(q, lo, hi, store)
+
+
+def clip_cast(q, lo, hi, store):
+    """clip + cast. NOTE (r5, measured): the TPU's float->int convert
+    SATURATES (f32->s8 clamps to [-128,127], f32->u8 to [0,255], NaN->0),
+    so the explicit clip looks redundant whenever (lo, hi) equals the
+    saturation range — but ELIDING it measured a consistent -6..-7% on
+    r50-int8 and mobilenet-uint8 b128 (7.17 -> 7.71 ms / 2.61 -> 2.76):
+    XLA-TPU's "clamp_convert" fusion emitters pattern-match the
+    clamp+convert+pack sequence, and the bare convert takes a slower
+    generic path. Keep the canonical clip form."""
     return jnp.clip(q, lo, hi).astype(store)
 
 

@@ -357,7 +357,7 @@ def _conv_quant_common(ctx: LowerCtx, x: TArr, integer_lhs: bool):
             prod = ctx.graph.tensors[ctx.node.inputs[0]].producer
             prod_op = ctx.graph.nodes[prod].op if prod is not None else ""
             if prod_op not in (
-                "Convolution", "Pooling", "InputOp", "FusedDwPwConv",
+                "Convolution", "Pooling", "InputOp",
                 "FusedResBlockChain",
             ):
                 xs = jax.lax.optimization_barrier(xs)
@@ -416,21 +416,40 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
 
     fused_pos = p.get("fused_add_pos")
     has_bias = (fused_pos == 3) if fused_pos is not None else ctx.num_inputs > 2
+    # relaxed fused-residual: the residual zero-point term -zp_r*beta is a
+    # CONSTANT — fold it into the bias vector so the epilogue adds nothing
+    # extra (the r5 r50 trace shows these epilogues VPU-bound at ~2x the
+    # byte roofline on the widest tensors)
+    relaxed_res = residual is not None and _relaxed_fused_add(ctx)
+    beta = zp_shift = 0.0
+    if relaxed_res:
+        t_r = ctx.in_tensor(p["fused_add_pos"])
+        s_r = float(np.asarray(t_r.quant.scales).reshape(-1)[0])
+        zp_r = int(np.asarray(t_r.quant.zero_points).reshape(-1)[0])
+        beta = s_r / s_out
+        zp_shift = zp_r * beta
+    # (r5 note: folding zp_out into the bias — exact by the round/translate
+    # identity — was A/B'd together with the clip elision and measured
+    # negative in the same -6% package; the canonical XLA clamp_convert
+    # pattern wants the literal round→+zp→clamp→convert shape, so only the
+    # zp_r residual fold above stays.)
+    act = p.get("activation", -1)
     if has_bias:
         def bias_q():
             b = ctx.const_data(2).astype(np.float32)
-            return (b * s_in * w_scales / s_out).astype(np.float32)
+            return (b * s_in * w_scales / s_out - zp_shift).astype(np.float32)
 
         B = ctx.get_param("requant_b", bias_q)
         q = acc * M + B
     else:
         q = acc * M
+        if zp_shift:
+            q = q - np.float32(zp_shift)
     if dw_corr is not None:
         # depthwise zero-point fold (see _conv_quant_common): one vector add
         # replaces the k^2-recomputed input-side subtract
         q = q + dw_corr
 
-    act = p.get("activation", -1)
     if act is not None and act >= 0:
         # clamp thresholds move into the pre-round domain (x/s_out)
         if act == ACT_SILU:
@@ -444,28 +463,20 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
                 q = jnp.minimum(q, float(act) / s_out)
     lo, hi = qmath.qrange(out_dtype, out_q)
     store = _store_for(ctx, ctx.out_tensor(0))
-    if residual is not None and _relaxed_fused_add(ctx):
+    if relaxed_res:
         # relaxed tier (XLA path): q is already folded to the FINAL output
-        # scale (see _conv_quant_common); add the dequantized residual in
-        # the accumulator domain and round ONCE. Cuts the fused epilogue
-        # from ~12 VPU passes (requant-to-mid, dequant both, re-round,
-        # clip twice) to ~5 — the measured bottleneck once block outputs
-        # store 1 byte (s8 fusions were VPU-bound on the double rounding).
-        t_r = ctx.in_tensor(p["fused_add_pos"])
-        s_r = float(np.asarray(t_r.quant.scales).reshape(-1)[0])
-        zp_r = int(np.asarray(t_r.quant.zero_points).reshape(-1)[0])
-        # s_out/zp_out already carry the FINAL tensor's quant here (folded
-        # in _conv_quant_common when _relaxed_fused_add)
-        beta = s_r / s_out
-        rf = (residual.astype(jnp.float32) - zp_r) * beta
-        y = q + rf
+        # scale (see _conv_quant_common) and carries the folded -zp_r*beta
+        # constant; add the scaled residual and round ONCE.
+        y = q + residual.astype(jnp.float32) * np.float32(beta)
         if p.get("fused_add_relu"):
             y = jnp.maximum(y, 0.0)
-        t = jnp.clip(qmath.round_away(y) + zp_out, lo, hi)
-        return nhwc(t.astype(store))
-    t = jnp.clip(qmath.round_away(q) + zp_out, lo, hi)
+        return nhwc(
+            qmath.clip_cast(qmath.round_away(y) + zp_out, lo, hi, store)
+        )
+    t_pre = qmath.round_away(q) + zp_out
     if residual is None:
-        return nhwc(t.astype(store))
+        return nhwc(qmath.clip_cast(t_pre, lo, hi, store))
+    t = jnp.clip(t_pre, lo, hi)
     # fused residual: t is the quantized mid tensor; reproduce the unfused
     # eltwise-sum numerics exactly (dequant both, add, requant), matching
     # the pallas qconv requant_block and the reference eltwise uint8 path
@@ -482,7 +493,7 @@ def _requant_conv_out(ctx: LowerCtx, acc, pack, residual=None):
     if p.get("fused_add_relu"):
         y = jnp.maximum(y, float(zp_out2))
     lo2, hi2 = qmath.qrange(t_outf.dtype, t_outf.quant)
-    return nhwc(jnp.clip(y, lo2, hi2).astype(store))
+    return nhwc(qmath.clip_cast(y, lo2, hi2, store))
 
 
 def _pallas_qconv_ok(ctx: LowerCtx) -> bool:
@@ -1173,7 +1184,7 @@ def lower_fc_quant_fast(ctx: LowerCtx, x: TArr, *rest: TArr):
         q = q + B
     lo, hi = qmath.qrange(t_out.dtype, t_out.quant)
     store = _store_for(ctx, t_out)
-    out = jnp.clip(qmath.round_away(q) + zp_out, lo, hi).astype(store)
+    out = qmath.clip_cast(qmath.round_away(q) + zp_out, lo, hi, store)
     if rank == 3:
         out = out.reshape(m, -1, 1)
     elif rank == 4:

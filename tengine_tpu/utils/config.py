@@ -87,7 +87,7 @@ class Options:
     # work; uint8: one exact bf16 subtract). Costs 2x activation bytes, wins
     # everywhere measured: mobilenet-v1 uint8 b128 30.3k -> 44.1k img/s,
     # resnet50 int8 b64 7.7k -> 8.6k img/s (v5e). Default on; disable to use
-    # the integer-operand Pallas paths (pallas_qgemm / fuse_dwpw).
+    # the integer-operand Pallas paths (pallas_qgemm).
     quant_bf16_storage: bool = True
     # Direct k×k int8 MXU conv (ops/pallas/qconv.py) for quantized convs
     # when activations are stored as raw integers (quant_bf16_storage=False):
@@ -106,17 +106,6 @@ class Options:
     # copies; the kernel measured 2.6 vs 3.4 ms on the yolov5s 640 stem
     # cluster (batch 8, device trace), exact int32 accumulation, s8/u8.
     pallas_stem: bool = True
-    # Fuse quantized dw3x3+pw1x1 pairs into a single Pallas block kernel
-    # that keeps the depthwise intermediate in VMEM. Under the default bf16
-    # storage this selects the bf16-domain kernel (ops/pallas/fused_dwpw2.py,
-    # C % 128 == 0 blocks); under integer storage the int8-operand original
-    # (ops/pallas/fused_dwpw.py). Opt-in: measured on v5e (mobilenet-v1
-    # uint8 b128) XLA's fused dw pipeline still wins (2.9 ms vs 6.3 ms) —
-    # Mosaic's misaligned-sublane tap slices cost a tile relayout per tap,
-    # which exceeds the saved mid-tensor HBM round trip. The kernels are
-    # correctness-proven (<=1 LSB) and kept as the base for a revision that
-    # keeps both spatial dims in untiled axes.
-    fuse_dwpw: bool = False
 
     # Relaxed-numerics quantized tier (the reference's armv8.2-asm-tier
     # accuracy contract: top-1 delta vs the exact engine, not bitwise — the
@@ -154,14 +143,6 @@ class Options:
     # geometries, all compile in seconds. TT_NATIVE_INT=0 reverts.
     quant_native: str = "auto"
 
-    # Fuse runs of stride-1 quantized dw3x3+pw1x1 blocks (the mobilenet
-    # family's separable stacks) into whole-chain Pallas kernels
-    # (ops/pallas/dwchain.py) with every intermediate resident in VMEM.
-    # Relaxed-tier numerics: the chain carries unrounded f32 between layers
-    # (clamped to each layer's calibrated saturation range) and rounds once
-    # at the chain output — strictly closer to the fp32 oracle than the
-    # per-layer-rounding exact engine. Requires quant_relaxed.
-    fuse_dwchain: bool = False
 
     # Minimum bottleneck width (c_mid) for whole-chain Pallas fusion under
     # quant_relaxed: the r4 per-stage scan (tools/chain_scan.py) measured

@@ -188,30 +188,6 @@ def test_fuse_conv_add_end_to_end(rng, scheme):
     assert diff.max() <= 1, f"max LSB diff {diff.max()}"
 
 
-def test_fused_dwpw_bf16_matches_fast(rng):
-    """The bf16-domain fused dw+pw kernel matches the unfused bf16-storage
-    fast path within 1 LSB (C=128 block)."""
-    from tengine_tpu.executor.engine import compile_graph
-    from tengine_tpu.ops import qmath
-    from tengine_tpu.quantize.quantizer import quantize_graph
-    from tengine_tpu.utils.config import Options
-    from tests.test_fused_dwpw import make_block_graph
-
-    g = make_block_graph(C=128, C2=64, rng=rng)
-    calib = [rng.standard_normal((1, 128, 8, 8)).astype(np.float32) for _ in range(3)]
-    qg = quantize_graph(g, calib, scheme="uint8")
-    t_in = qg.tensors[qg.input_tensors[0]]
-    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
-
-    base = dict(quant_mode="fast", quant_bf16_storage=True)
-    (unfused,) = compile_graph(qg, Options(fuse_dwpw=False, **base)).run(xq)
-    cg = compile_graph(qg, Options(fuse_dwpw=True, **base))
-    assert sum(1 for n in cg.graph.nodes if n.op == "FusedDwPwConv") == 1
-    (fused,) = cg.run(xq)
-    diff = np.abs(fused.astype(np.int32) - unfused.astype(np.int32))
-    assert diff.max() <= 1, f"max LSB diff {diff.max()}"
-
-
 class TestStemConv:
     """Fused stem kernel (ops/pallas/stem_conv.py) vs the bf16 XLA fast
     path — exact for s8/u8 inputs, u8 weights, every activation code."""

@@ -28,16 +28,31 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# self-measured v5e peaks through Mosaic (ARCHITECTURE round-3 findings)
+# v5e peaks: 400 TOP/s nominal int8 / 197 TFLOP/s bf16 (spec); 290 TOP/s
+# int8 through Mosaic self-measured (ARCHITECTURE round-3/4 findings);
+# HBM 819 GB/s spec.
 PEAK_INT8_TOPS = 400.0
+PEAK_INT8_MEASURED = 290.0
 PEAK_BF16_TFLOPS = 195.0
+HBM_GBPS = 819.0
 
+# every reference benchmark net (benchmark/README.md table), uint8
+# asymmetric except resnet50 (the BASELINE int8-KL config) — b128
+# throughput geometry; detection heads keep their tmfile batch envelope
 CONFIGS = [
+    ("squeezenet_v1.1", "uint8", 128),
     ("mobilenetv1", "uint8", 128),
     ("mobilenetv2", "uint8", 128),
     ("mobilenetv3", "uint8", 128),
+    ("shufflenetv2", "uint8", 128),
+    ("resnet18", "uint8", 128),
     ("resnet50", "int8", 128),
-    ("squeezenet_v1.1", "uint8", 128),
+    ("googlenet", "uint8", 128),
+    ("inceptionv3", "uint8", 128),
+    ("vgg16", "uint8", 128),
+    ("mssd", "uint8", 8),
+    ("retinaface", "uint8", 8),
+    ("yolov3_tiny", "uint8", 8),
     ("mobilefacenets", "uint8", 128),
 ]
 
@@ -83,7 +98,9 @@ def measure(model, scheme, batch, iters=50):
         qmath.quantize_np(np.broadcast_to(calib[0], shape), t_in.quant, t_in.dtype)
     )
     cg = tt.compile_graph(qg, Options(quant_mode="fast", batch_size=batch))
-    flops = cg.cost_analysis().get("flops", 0.0)
+    ca = cg.cost_analysis()
+    flops = ca.get("flops", 0.0)
+    bytes_acc = ca.get("bytes accessed", 0.0)
 
     def sync(o):
         a = o[0]
@@ -114,16 +131,28 @@ def measure(model, scheme, batch, iters=50):
 
     gop = flops / 1e9
     tops = gop / (mod_ms / 1e3) / 1e3 if mod_ms else 0.0  # TOP/s
-    peak = PEAK_INT8_TOPS if scheme == "int8" else PEAK_BF16_TFLOPS
-    # the default path computes on the MXU in bf16 for uint8 (exact shifted
-    # integers) and int8 for symmetric chains; report both references
+    gbps = bytes_acc / 1e9 / (mod_ms / 1e3) if mod_ms else 0.0
+    pct_bw = 100.0 * gbps / HBM_GBPS
+    pct_int8m = 100.0 * tops / PEAK_INT8_MEASURED
+    pct_bf16 = 100.0 * tops / PEAK_BF16_TFLOPS
+    # the binding bound: whichever unit is closest to its roofline. The
+    # compute reference follows the engine's MXU dtype (int8 MXU under the
+    # native plan / symmetric int8; bf16 MXU for the uint8 legacy tier).
+    from tengine_tpu.executor.engine import _native_profitable
+    int8_mxu = scheme == "int8" or _native_profitable(qg)
+    pct_compute = pct_int8m if int8_mxu else pct_bf16
+    bound = "BW" if pct_bw >= pct_compute else "MXU"
     return {
         "model": model, "scheme": scheme, "batch": batch,
         "ms": mod_ms, "img_s": batch / mod_ms * 1e3 if mod_ms else 0,
         "gop": gop / batch,
         "tops": tops,
-        "pct_bf16": 100.0 * tops / PEAK_BF16_TFLOPS,
+        "gbps": gbps,
+        "pct_bw": pct_bw,
+        "pct_bf16": pct_bf16,
         "pct_int8": 100.0 * tops / PEAK_INT8_TOPS,
+        "pct_int8m": pct_int8m,
+        "bound": f"{bound} {max(pct_bw, pct_compute):.0f}%",
         "split": split,
     }
 
@@ -142,8 +171,8 @@ def main():
             r = measure(model, scheme, batch)
             rows.append(r)
             print(f"{model} {scheme}: {r['ms']:.3f} ms, {r['img_s']:.0f} img/s, "
-                  f"{r['tops']:.1f} TOP/s ({r['pct_bf16']:.0f}% bf16 / "
-                  f"{r['pct_int8']:.0f}% int8 roofline)  split={ {k: round(v) for k, v in r['split'].items()} }",
+                  f"{r['tops']:.1f} TOP/s, {r['gbps']:.0f} GB/s "
+                  f"({r['pct_bw']:.0f}% BW), bound={r['bound']}",
                   flush=True)
         except Exception as e:
             print(f"{model} {scheme}: FAILED {e}", flush=True)
@@ -159,15 +188,16 @@ def main():
         "fusions themselves land here — their time includes MXU work, so",
         "the split is an upper bound on overhead, not an exact unit usage).",
         "",
-        "| net | scheme | b | ms/iter | img/s | GOP/img | TOP/s | %bf16 peak | %int8 peak | split |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| net | scheme | b | ms/iter | img/s | GOP/img | TOP/s | %bf16 | %int8 nom | %int8 meas | GB/s | %HBM | bound | split |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         split = " ".join(f"{k}:{v:.0f}%" for k, v in r["split"].items())
         lines.append(
             f"| {r['model']} | {r['scheme']} | {r['batch']} | {r['ms']:.3f} | "
             f"{r['img_s']:.0f} | {r['gop']:.2f} | {r['tops']:.1f} | "
-            f"{r['pct_bf16']:.0f}% | {r['pct_int8']:.0f}% | {split} |"
+            f"{r['pct_bf16']:.0f}% | {r['pct_int8']:.0f}% | {r['pct_int8m']:.0f}% | "
+            f"{r['gbps']:.0f} | {r['pct_bw']:.0f}% | {r['bound']} | {split} |"
         )
     text = "\n".join(lines) + "\n"
     print(text)
