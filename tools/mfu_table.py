@@ -180,9 +180,18 @@ def main():
     lines = [
         "# MFU / roofline table (regenerated by tools/mfu_table.py)",
         "",
-        "Device time = XLA-trace module median (blessed method). Roofline",
-        "references are the self-measured v5e Mosaic rates: int8 dot ~400",
-        "TOP/s, bf16 ~195 TFLOP/s. 'split' buckets summed op self-time:",
+        "Device time = XLA-trace module median (blessed method). Compute",
+        "rooflines: 400 TOP/s int8 nominal spec, 290 TOP/s int8 self-measured",
+        "through Mosaic, 195 TFLOP/s bf16. Bandwidth: GB/s = XLA cost-model",
+        "bytes-accessed / device time against the 819 GB/s HBM spec. NOTE:",
+        "bytes-accessed is the op-level sum, which counts fusion-internal",
+        "and VMEM-resident reuse — %HBM above 100% (shufflenet, retinaface,",
+        "squeezenet, mobilefacenets) means heavy on-chip reuse, and the",
+        "column is an UPPER bound on true HBM traffic, tight only for the",
+        "big streaming nets. 'bound' names the binding unit per net: the",
+        "roofline % of whichever unit is closest to its peak (compute",
+        "reference = the MXU dtype the engine actually uses for that net).",
+        "'split' buckets summed op self-time:",
         "mxu = bare convolution/dot ops, pallas = custom-call kernels,",
         "copy = layout/copy ops, fusion = everything XLA fused (the conv",
         "fusions themselves land here — their time includes MXU work, so",
