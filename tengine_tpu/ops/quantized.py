@@ -1323,3 +1323,93 @@ def lower_relu_quant(ctx: LowerCtx, x: TArr):
             t = t.astype(jnp.int32)
         t = t.astype(want)
     return TArr(t, x.layout)
+
+
+# ---------------------------------------------------------------------------
+# Quantized-domain passthrough for value-preserving data-movement ops
+# (r5, from the shufflenet trace): ShuffleChannel / Reshape / Slice /
+# Concat / ... are pure permutations-or-selections, so when every
+# activation in/out shares one (scale, zp) grid they commute with the
+# quantization map and can run on the RAW stored values — 1-2 B/elt moves
+# with no dequant/requant epilogues. Without this they fall to the generic
+# wrapper, which dequantizes to f32 (4 B/elt relayout copies) and
+# re-rounds: the shufflenet-v2 trace showed 27% of device time in exactly
+# those f32 shuffle copies. The quantizer pins shuffle/reshape-family
+# output grids to their input's (same value multiset -> same optimal
+# grid), so the predicate holds on real nets. Exact: bit-equal (the
+# permutation is dtype-agnostic; requant at equal grids is the identity
+# on in-range values, and stored values are in range by construction).
+# Reference analog: shufflechannel_ref.c / reshape_ref.c are memcpys.
+# ---------------------------------------------------------------------------
+
+
+def _passthrough_same_quant(ctx: LowerCtx) -> bool:
+    if not node_is_quant(ctx):
+        return False
+    t0 = ctx.out_tensor(0)
+    q0 = t0.quant
+    if q0 is None or q0.per_channel:
+        return False
+    s0, z0 = float(np.asarray(q0.scales)), int(np.asarray(q0.zero_points))
+
+    def same(t):
+        q = t.quant
+        return (
+            q is not None
+            and not q.per_channel
+            and t.dtype == t0.dtype
+            and float(np.asarray(q.scales)) == s0
+            and int(np.asarray(q.zero_points)) == z0
+        )
+
+    for tid in ctx.node.inputs:
+        t = ctx.graph.tensors[tid]
+        if t.is_const:
+            continue  # shape/param consts pass through untouched
+        if not same(t):
+            return False
+    return all(same(ctx.graph.tensors[t]) for t in ctx.node.outputs)
+
+
+def _register_passthrough(op: str, base_fn):
+    @register_op(op, score=SCORE_BEST, predicate=_passthrough_same_quant,
+                 quant=True)
+    def _lower(ctx: LowerCtx, *args, __base=base_fn, **kw):
+        out = __base(ctx, *args)
+        outs = out if isinstance(out, tuple) else (out,)
+        fixed = []
+        for tid, o in zip(ctx.node.outputs, outs):
+            want = _store_for(ctx, ctx.graph.tensors[tid])
+            if o.x.dtype != want:
+                v = o.x
+                if jnp.issubdtype(v.dtype, jnp.floating) and not jnp.issubdtype(
+                    jnp.dtype(want), jnp.floating
+                ):
+                    v = v.astype(jnp.int32)  # exact integers either storage
+                fixed.append(TArr(v.astype(want), o.layout))
+            else:
+                fixed.append(o)
+        return tuple(fixed) if isinstance(out, tuple) else fixed[0]
+
+    _lower.__name__ = f"lower_{op.lower()}_quant_passthrough"
+    return _lower
+
+
+def _install_passthroughs():
+    from . import lowering as L
+
+    for op, fn in (
+        ("ShuffleChannel", L.lower_shufflechannel),
+        ("Reshape", L.lower_reshape),
+        ("Flatten", L.lower_flatten),
+        ("Squeeze", L.lower_squeeze),
+        ("Permute", L.lower_permute),
+        ("Transpose", L.lower_transpose),
+        ("Slice", L.lower_slice),
+        ("Concat", L.lower_concat),
+        ("Split", L.lower_split),
+    ):
+        _register_passthrough(op, fn)
+
+
+_install_passthroughs()

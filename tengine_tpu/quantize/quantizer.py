@@ -98,6 +98,28 @@ def quantize_graph(
             t.quant = act_qparam(s)
             t.dtype = act_dtype
 
+    # 1b. value-preserving permutation ops: the output is the SAME value
+    # multiset as the input, so the input's grid is exactly optimal for the
+    # output — pin them equal (calibration noise/histogram binning can
+    # otherwise produce a gratuitously different scale, forcing a per-element
+    # rescale through the f32 wrapper on what should be a pure 1-byte
+    # permutation; the quantized ShuffleChannel kernel requires equality).
+    # TFLite's converter applies the same scale-sharing rule to its
+    # restricted ops; the reference's shufflechannel_ref.c is a memcpy that
+    # implicitly assumes it too.
+    for n in q.nodes:
+        if n.op in ("ShuffleChannel", "Reshape", "Flatten", "Squeeze",
+                    "Transpose", "Permute"):
+            if not n.inputs or not n.outputs:
+                continue
+            t_in, t_out = q.tensors[n.inputs[0]], q.tensors[n.outputs[0]]
+            if (
+                t_in.quant is not None
+                and t_out.quant is not None
+                and not t_in.quant.per_channel
+            ):
+                t_out.quant = copy.deepcopy(t_in.quant)
+
     # 2. weights + biases per weighted node
     for n in q.nodes:
         if n.op not in _WEIGHTED:
