@@ -606,3 +606,53 @@ def remove_custom_kernel(h: int, nidx: int, dev_name: str) -> int:
     _custom_kernels.pop(key, None)
     g._compiled = None
     return 0
+
+
+# ---- plugins / layout / default device from C (c_api.h:374, 1078, 1259) ----
+
+
+def load_plugin(plugin_name: str, file_name: str, init_func: str) -> int:
+    """load_tengine_plugin from C (c_api.h:1259): the reference dlopens a
+    .so; our plugins are Python modules whose init() registers ops —
+    the same extension contract at the engine's native layer."""
+    from .api import load_tengine_plugin
+
+    try:
+        return int(load_tengine_plugin(
+            plugin_name, file_name, init_func or "init"
+        ))
+    except Exception:
+        return -1
+
+
+def unload_plugin(plugin_name: str, rel_func: str) -> int:
+    from . import api
+
+    mod = api._LOADED_PLUGINS.pop(plugin_name, None)
+    if mod is None:
+        return -1
+    rel = getattr(mod, rel_func or "release", None)
+    if rel is not None:
+        try:
+            rel()
+        except Exception:
+            return -1
+    return 0
+
+
+def set_graph_layout(h: int, layout_type: int) -> int:
+    """set_graph_layout (c_api.h:374): 0 = NCHW (our IR default), 1 = NHWC
+    (sets the engine's input-layout option for this graph)."""
+    g = _graph(h)
+    from dataclasses import replace
+
+    g.options = replace(
+        g.options, input_layout="NHWC" if layout_type == 1 else "NCHW"
+    )
+    g._compiled = None
+    return 0
+
+
+def set_default_device(dev_name: str) -> int:
+    """set_default_device (c_api.h:1078): informational — one XLA target."""
+    return 0

@@ -633,3 +633,35 @@ int get_context_device_number(context_t context)
     return (int)ret_long(
         bridge_call("get_context_device_number", "(l)", (long)(uintptr_t)context), -1);
 }
+
+/* ---- plugins / layout / default device (c_api.h:374, 1078, 1259-1270) ---- */
+
+int load_tengine_plugin(const char* plugin_name, const char* file_name, const char* init_func_name)
+{
+    return (int)ret_long(
+        bridge_call("load_plugin", "(sss)", plugin_name ? plugin_name : "",
+                    file_name ? file_name : "",
+                    init_func_name ? init_func_name : ""),
+        -1);
+}
+
+int unload_tengine_plugin(const char* plugin_name, const char* rel_func_name)
+{
+    return (int)ret_long(
+        bridge_call("unload_plugin", "(ss)", plugin_name ? plugin_name : "",
+                    rel_func_name ? rel_func_name : ""),
+        -1);
+}
+
+int set_graph_layout(graph_t graph, int layout_type)
+{
+    return (int)ret_long(
+        bridge_call("set_graph_layout", "(li)", (long)(uintptr_t)graph, layout_type),
+        -1);
+}
+
+int set_default_device(const char* device)
+{
+    return (int)ret_long(
+        bridge_call("set_default_device", "(s)", device ? device : ""), -1);
+}

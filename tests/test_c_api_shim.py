@@ -571,3 +571,47 @@ def test_attach_mode_construction(capi_lib):
     conv = lib.create_graph_node(g, b"c0", b"Convolution")
     v = ctypes.c_int(3)
     assert lib.set_node_attr_int(conv, b"kernel_h", ctypes.byref(v)) == 0
+
+
+def test_attach_mode_plugin_and_layout(capi_lib, tmp_path):
+    """r5 stragglers: load_tengine_plugin from C (c_api.h:1259 — Python
+    plugin module instead of a dlopen'd .so), unload, set_graph_layout,
+    set_default_device."""
+    plugin = tmp_path / "my_plugin.py"
+    plugin.write_text(
+        "CALLS = []\n"
+        "def init():\n"
+        "    CALLS.append('init')\n"
+        "    return 0\n"
+        "def release():\n"
+        "    CALLS.append('release')\n"
+        "    return 0\n"
+    )
+    lib = ctypes.CDLL(capi_lib)
+    lib.load_tengine_plugin.argtypes = [ctypes.c_char_p] * 3
+    lib.unload_tengine_plugin.argtypes = [ctypes.c_char_p] * 2
+    lib.set_default_device.argtypes = [ctypes.c_char_p]
+    lib.set_graph_layout.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.create_graph.restype = ctypes.c_void_p
+
+    assert lib.init_tengine() == 0
+    assert lib.load_tengine_plugin(b"p1", str(plugin).encode(), b"init") == 0
+    assert lib.load_tengine_plugin(b"p1", str(plugin).encode(), b"init") == 0  # idempotent
+    import tengine_tpu.api as api
+
+    assert "p1" in api._LOADED_PLUGINS
+    assert api._LOADED_PLUGINS["p1"].CALLS == ["init"]
+    assert lib.unload_tengine_plugin(b"p1", b"release") == 0
+    assert "p1" not in api._LOADED_PLUGINS
+    assert lib.unload_tengine_plugin(b"p1", b"release") == -1  # already gone
+    assert lib.set_default_device(b"TPU") == 0
+
+    g = lib.create_graph(None, None, None)
+    assert lib.set_graph_layout(g, 1) == 0  # NHWC
+    from tengine_tpu.capi_bridge import _graphs
+
+    handle = max(h for h, gr in _graphs.items()
+                 if getattr(gr, "_constructed", False))
+    assert _graphs[handle].options.input_layout == "NHWC"
+    assert lib.set_graph_layout(g, 0) == 0
+    assert _graphs[handle].options.input_layout == "NCHW"
