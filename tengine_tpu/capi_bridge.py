@@ -70,7 +70,11 @@ def prerun_graph(h: int, num_thread: int = 0, precision: int = -1) -> int:
         finalize_constructed(h)
     opts = None
     if precision == 1:  # TENGINE_MODE_FP16 (c_api.h precision constants)
-        opts = Options(precision="fp16")
+        from dataclasses import replace
+
+        # preserve options already recorded on the graph (set_graph_layout
+        # et al.) — a fresh Options() would silently wipe them
+        opts = replace(g.options, precision="fp16")
     g.preRun(opts)
     return 0
 
@@ -300,6 +304,14 @@ _contexts: Dict[int, dict] = {}
 _CODE_DTYPE = {v: k for k, v in _DTYPE_CODE.items()}
 
 
+def _dtype_from_code(code: int):
+    """TENGINE_DT_* code -> DType, via the one _DTYPE_CODE table."""
+    from .graph.ir import DType
+
+    name = _CODE_DTYPE.get(code, "float32")
+    return next(d for d in DType if np.dtype(d.np).name == name)
+
+
 def create_graph_empty() -> int:
     """create_graph(ctx, NULL, NULL) — an empty graph for C-side
     construction."""
@@ -325,12 +337,8 @@ def create_graph_tensor(h: int, name: str, dtype_code: int) -> int:
     g = _graph(h)
     from .graph.ir import TensorType
 
-    np_name = _CODE_DTYPE.get(dtype_code, "float32")
-    dt = {
-        "float32": DType.FP32, "float16": DType.FP16, "int8": DType.INT8,
-        "uint8": DType.UINT8, "int32": DType.INT32, "int16": DType.INT16,
-    }[np_name]
-    t = g.ir.add_tensor(name, dt, [], TensorType.VAR)
+    t = g.ir.add_tensor(name, _dtype_from_code(dtype_code), [],
+                        TensorType.VAR)
     return t.idx
 
 
@@ -395,6 +403,14 @@ def finalize_constructed(h: int) -> int:
     defaults to InputOp nodes / consumerless non-const outputs."""
     g = _graph(h)
     ir = g.ir
+    for n in ir.nodes:
+        if n.op != "Noop" and (-1 in n.inputs or -1 in n.outputs):
+            # the reference C API errors on unset node slots; a -1 left by
+            # out-of-order set_node_input_tensor would negative-index the
+            # tensor table and silently wire the wrong operand
+            raise ValueError(
+                f"node {n.name!r} has unset input/output slots"
+            )
     for n in ir.nodes:
         if n.op == "Const":
             for tid in n.outputs:
@@ -628,7 +644,7 @@ def load_plugin(plugin_name: str, file_name: str, init_func: str) -> int:
 def unload_plugin(plugin_name: str, rel_func: str) -> int:
     from . import api
 
-    mod = api._LOADED_PLUGINS.pop(plugin_name, None)
+    mod = api._LOADED_PLUGINS.get(plugin_name)
     if mod is None:
         return -1
     rel = getattr(mod, rel_func or "release", None)
@@ -636,7 +652,8 @@ def unload_plugin(plugin_name: str, rel_func: str) -> int:
         try:
             rel()
         except Exception:
-            return -1
+            return -1  # release failed: plugin stays loaded (retryable)
+    api._LOADED_PLUGINS.pop(plugin_name, None)
     return 0
 
 

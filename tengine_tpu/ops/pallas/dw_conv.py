@@ -286,6 +286,16 @@ def dw_qconv_hwcn(
 
     n_bands = OH // R
     n_cchunks = C // Cc
+    if n_bands > 1 and pad_b > R * stride:
+        # interior bands DMA body+delta rows starting at bi*R*stride; with
+        # pad_b > R*stride the second-to-last band's read would run past
+        # the input's last row (silent corruption). A VMEM-forced tiny R
+        # (the _pick_band R=1 fallback) can hit this on k5 SAME layers —
+        # refuse loudly rather than mis-read.
+        raise ValueError(
+            f"dw_qconv: pad_b={pad_b} exceeds the row band ({R}x{stride}); "
+            "geometry outside the kernel envelope"
+        )
 
     kern = functools.partial(
         _dw_kernel,

@@ -587,14 +587,26 @@ def _pallas_dw_ok(ctx: LowerCtx) -> bool:
     )
     if batch < 32:
         return False
+    k, s_ = p["kernel_h"], p["stride_h"]
+    pads = [p.get(f"pad_{a}", -1) for a in ("h0", "h1", "w0", "w1")]
+    pad_ok = (
+        all(v >= 0 for v in pads)
+        # kernel envelope (dw_qconv_hwcn): bottom/right pads realize as
+        # delta halo rows, bounded by k - stride - pad_top (+ stride-1)
+        and pads[1] <= max(0, k - s_ - pads[0]) + (s_ - 1)
+        and pads[3] <= max(0, k - s_ - pads[2]) + (s_ - 1)
+        and pads[0] <= k - 1
+        and pads[2] <= k - 1
+    )
     return (
-        p.get("activation", -1) != ACT_SILU
+        pad_ok
+        and p.get("activation", -1) != ACT_SILU
         and p["kernel_h"] == p["kernel_w"]
-        and p["kernel_h"] in (3, 5)
+        and k in (3, 5)
         and p["dilation_h"] == 1
         and p["dilation_w"] == 1
         and p["stride_h"] == p["stride_w"]
-        and p["stride_h"] in (1, 2)
+        and s_ in (1, 2)
         and _int_stored(ctx, t_in)
         and _int_stored(ctx, t_out)
         and ctx.const_data(1) is not None
@@ -1362,10 +1374,19 @@ def _passthrough_same_quant(ctx: LowerCtx) -> bool:
             and int(np.asarray(q.zero_points)) == z0
         )
 
-    for tid in ctx.node.inputs:
+    for pos, tid in enumerate(ctx.node.inputs):
         t = ctx.graph.tensors[tid]
         if t.is_const:
-            continue  # shape/param consts pass through untouched
+            # a DATA const (e.g. a Concat operand holding float anchors)
+            # must share the grid too — raw float values next to raw codes
+            # would be garbage. Integer shape/param consts (Reshape's shape
+            # vector) carry no quant and are never concatenated: allow
+            # them only for single-data-input ops where position > 0.
+            if same(t):
+                continue
+            if ctx.node.op != "Concat" and pos > 0 and t.quant is None:
+                continue
+            return False
         if not same(t):
             return False
     return all(same(ctx.graph.tensors[t]) for t in ctx.node.outputs)
