@@ -120,6 +120,50 @@ def quantize_graph(
             ):
                 t_out.quant = copy.deepcopy(t_in.quant)
 
+    # 1c. restricted-op scale sharing (TFLite's rule, applied r5): Concat
+    # inputs adopt the concat OUTPUT's grid (its calibrated range is the
+    # union of the inputs', so it covers each), and Slice/Split outputs
+    # adopt the input's. The producers' requant epilogues then retarget
+    # the shared grid for free, and the concat/slice itself becomes a raw
+    # 1-byte copy (the quantized passthrough kernels engage). This is a
+    # quantizer design choice the reference does not make — its concat
+    # ref kernel pays a per-element requantize instead (concat_ref.c);
+    # accuracy cost is bounded (inputs move to a covering grid, <=1 bit of
+    # resolution on narrow branches) and gated by the published top-1
+    # harness. Tensors feeding two different concats keep their own grid
+    # (first pin wins; the passthrough predicate simply won't fire there).
+    pinned: set = set()
+    for n in q.nodes:
+        if n.op == "Concat" and n.outputs:
+            t_out = q.tensors[n.outputs[0]]
+            if t_out.quant is None or t_out.quant.per_channel:
+                continue
+            for tid in n.inputs:
+                t = q.tensors[tid]
+                if (
+                    t.tensor_type == TensorType.VAR
+                    and t.quant is not None
+                    and not t.quant.per_channel
+                    and t.idx not in pinned
+                    and t.dtype == t_out.dtype
+                ):
+                    t.quant = copy.deepcopy(t_out.quant)
+                    pinned.add(t.idx)
+        elif n.op in ("Slice", "Split") and n.inputs:
+            t_in = q.tensors[n.inputs[0]]
+            if t_in.quant is None or t_in.quant.per_channel:
+                continue
+            for tid in n.outputs:
+                t = q.tensors[tid]
+                if (
+                    t.quant is not None
+                    and not t.quant.per_channel
+                    and t.idx not in pinned
+                    and t.dtype == t_in.dtype
+                ):
+                    t.quant = copy.deepcopy(t_in.quant)
+                    pinned.add(t.idx)
+
     # 2. weights + biases per weighted node
     for n in q.nodes:
         if n.op not in _WEIGHTED:
