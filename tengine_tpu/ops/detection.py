@@ -135,9 +135,14 @@ def padded_nms(
     cand = boxes[order]
     iou = _iou_matrix(cand)
 
+    # NOTE (r5): greedy suppression is inherently rank-sequential and this
+    # fori_loop costs ~1.3 us/iteration of loop machinery on the mssd
+    # trace (0.13 ms of a 1.18 ms net). A blocked/unrolled exact variant
+    # (vectorized cross-block mask + 32 unrolled in-block steps) was
+    # measured WORSE (mssd 1.18 -> 1.63 ms: the .at[].set SSA chains
+    # schedule as serialized scalar fusions); the loop form stands.
     def body(i, keep):
         # candidate i survives if no higher-ranked kept box overlaps too much
-        sup = (iou[i, :i] > iou_threshold) & keep[:i] if False else None
         overlap = jnp.where(
             (jnp.arange(k) < i) & keep, iou[i], 0.0
         )
