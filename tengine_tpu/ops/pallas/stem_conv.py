@@ -93,6 +93,13 @@ def _stem_kernel(
     w = w_ref[:]
     m = m_ref[0]
     bb = b_ref[0]
+    # NOTE (r5): the per-row [Kp, OW] dots underfill the MXU (~25% at
+    # Ce=32; the yolov5s-640 trace shows this custom-call at 1.9 ms of a
+    # 5.9 ms net). Batching the band into ONE [Kp, rows*OW] dot was tried
+    # two ways and Mosaic rejects both: the [Kp, rows, OW] -> [Kp, rows*OW]
+    # value reshape merges a sublane into lanes ("tpu.reshape" error) and
+    # the 3-D dot_general lowers through an unsupported shape cast. The
+    # per-row loop stands.
     for t in range(rows):
         acc = jax.lax.dot_general(
             p_ref[:, t, :],                           # [Kp, OW] int8
