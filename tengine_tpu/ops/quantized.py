@@ -1429,6 +1429,10 @@ def _install_passthroughs():
         ("Slice", L.lower_slice),
         ("Concat", L.lower_concat),
         ("Split", L.lower_split),
+        # nearest-neighbor upsample duplicates values; crop selects them —
+        # both value-preserving (bilinear Interp is NOT and stays wrapped)
+        ("Upsample", L.lower_upsample),
+        ("Crop", L.lower_crop),
     ):
         _register_passthrough(op, fn)
 

@@ -109,7 +109,7 @@ def quantize_graph(
     # implicitly assumes it too.
     for n in q.nodes:
         if n.op in ("ShuffleChannel", "Reshape", "Flatten", "Squeeze",
-                    "Transpose", "Permute"):
+                    "Transpose", "Permute", "Upsample", "Crop"):
             if not n.inputs or not n.outputs:
                 continue
             t_in, t_out = q.tensors[n.inputs[0]], q.tensors[n.outputs[0]]
