@@ -439,6 +439,15 @@ def compile_graph(graph: Graph, options: Optional[Options] = None) -> CompiledGr
             graph,
             min_cmid=0 if options.fuse_resblock else options.chain_min_cmid,
         )
+    if fast_quant and os.environ.get("TT_FOLD_SHUFFLE", "1") not in ("0", "off"):
+        # shuffle+slice chains fold into consumer conv weights / one
+        # ChannelGather (graph/passes.py:fold_shuffle_gathers — exact on
+        # the shared grid the quantizer pins)
+        from ..graph.passes import fold_shuffle_gathers
+
+        g2 = graph.clone()
+        if fold_shuffle_gathers(g2):
+            graph = g2
     if fast_quant:
         # residual eltwise-sums fold into the conv requant epilogue: the
         # pallas direct-conv kernel (int-storage path) or the XLA conv

@@ -1182,3 +1182,141 @@ def ensure_shapes(g: Graph) -> None:
         infer_shapes(g)
     except Exception:
         pass
+
+
+def fold_shuffle_gathers(g: Graph) -> int:
+    """Fold ShuffleChannel -> Slice chains into their consumers (r5, the
+    shufflenet-v2 block tail: concat -> shuffle(g=2) -> slice halves).
+
+    The shuffle materializes a full-C interleave copy and the conv-side
+    slice half another C/2 — 26% of shufflenet-v2's device time is these
+    relayouts even on the 1-byte passthrough path. Both vanish exactly:
+
+      * a slice output consumed ONLY by group-1 convs folds into each
+        conv's weight: the conv reads the shuffle's INPUT directly and its
+        weight scatters to the gathered channel positions (unused columns
+        hold the weight zero-point = exact zero contribution, so the
+        engine's colsum zero-point corrections stay exact). MXU cost is
+        unchanged wherever C_in and C pad to the same 128-lane tile.
+      * any other slice output becomes one ChannelGather (a single C/2
+        interleave copy) instead of riding the full-C shuffle.
+
+    Exact in the quantized domain because quantize_graph pins one grid
+    across the chain (restricted-op scale sharing). Compile-time clone
+    only. Returns the number of chains folded."""
+    if any(
+        n.op == "ShuffleChannel" and n.inputs
+        and not g.tensors[n.inputs[0]].shape
+        for n in g.nodes
+    ):
+        try:
+            from ..executor.engine import infer_shapes
+
+            infer_shapes(g)
+        except Exception:
+            return 0
+    folded = 0
+    for sh in list(g.nodes):
+        if sh.op != "ShuffleChannel" or not sh.outputs:
+            continue
+        sl = _single_consumer(g, sh)
+        if sl is None or sl.op != "Slice" or sl.inputs[0] != sh.outputs[0]:
+            continue
+        if sl.params.get("axis", 0) != 1 or not sl.params.get("iscaffe"):
+            continue
+        t_x = g.tensors[sh.inputs[0]]
+        t_mid = g.tensors[sh.outputs[0]]
+        if t_mid.idx in g.output_tensors or sh.idx in g.outputs or sl.idx in g.outputs:
+            continue
+        if not t_x.shape or len(t_x.shape) != 4:
+            continue
+        C = int(t_x.shape[1])
+        grp = sh.params.get("group", 1)
+        if grp <= 1 or C % grp:
+            continue
+        # same-grid requirement (the passes are exact only on one grid)
+        def _grid(t):
+            q = t.quant
+            if q is None or q.per_channel:
+                return None
+            return (float(np.asarray(q.scales)), int(np.asarray(q.zero_points)),
+                    t.dtype)
+        g0 = _grid(t_x)
+        if g0 is None or _grid(t_mid) != g0:
+            continue
+        perm = [(k % grp) * (C // grp) + k // grp for k in range(C)]
+        points = list(sl.params.get("slice_points") or [])
+        n_out = len(sl.outputs)
+        if not points:
+            step = C // n_out
+            points = [step * (i + 1) for i in range(n_out - 1)]
+        starts = [0] + points
+        ends = points + [C]
+
+        plans = []  # (out_tid, idx, conv_consumers or None)
+        ok = True
+        for o_tid, s, e in zip(sl.outputs, starts, ends):
+            t_o = g.tensors[o_tid]
+            if _grid(t_o) != g0 or o_tid in g.output_tensors:
+                ok = False
+                break
+            idx = perm[s:e]
+            consumers = [
+                g.nodes[c] for c in t_o.consumers if o_tid in g.nodes[c].inputs
+            ]
+            conv_ok = consumers and all(
+                c.op == "Convolution"
+                and c.params.get("group", 1) == 1
+                and c.inputs and c.inputs[0] == o_tid
+                and len(c.inputs) >= 2
+                and g.tensors[c.inputs[1]].is_const
+                and g.tensors[c.inputs[1]].data is not None
+                and g.tensors[c.inputs[1]].quant is not None
+                for c in consumers
+            )
+            plans.append((o_tid, idx, consumers if conv_ok else None))
+        if not ok:
+            continue
+
+        for o_tid, idx, convs in plans:
+            t_o = g.tensors[o_tid]
+            if convs is not None:
+                for conv in convs:
+                    tw = g.tensors[conv.inputs[1]]
+                    w = tw.data
+                    O, ci = int(w.shape[0]), int(w.shape[1])
+                    q = tw.quant
+                    if q.per_channel:
+                        fill = 0  # symmetric int8: code 0 == weight 0
+                    else:
+                        fill = int(np.asarray(q.zero_points).reshape(-1)[0])
+                    w_new = np.full((O, C) + w.shape[2:], fill, w.dtype)
+                    w_new[:, idx] = w
+                    # weights are often shared per-node in clones; make a
+                    # private const so other consumers keep the original
+                    wt2 = g.add_tensor(
+                        f"{tw.name}/shfold", tw.dtype, list(w_new.shape),
+                        TensorType.CONST, data=w_new,
+                    )
+                    wt2.quant = q
+                    conv.inputs[1] = wt2.idx
+                    wt2.consumers.append(conv.idx)
+                    conv.params["input_channel"] = C
+                    conv.inputs[0] = t_x.idx
+                    t_x.consumers = sorted(set(t_x.consumers + [conv.idx]))
+                t_o.consumers = []
+            else:
+                n = g.add_node(
+                    "ChannelGather", f"{sh.name}/gather{o_tid}",
+                    [t_x.idx], [o_tid], params=dict(indices=idx),
+                )
+                t_o.producer = n.idx
+                t_x.consumers = sorted(set(t_x.consumers + [n.idx]))
+        t_mid.consumers = []
+        t_x.consumers = [c for c in t_x.consumers if c != sh.idx]
+        for node in (sh, sl):
+            node.op = "Noop"
+            node.inputs = []
+            node.outputs = []
+        folded += 1
+    return folded

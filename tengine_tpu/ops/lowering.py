@@ -1080,6 +1080,19 @@ def lower_shufflechannel(ctx: LowerCtx, x: TArr):
     return nchw(out)
 
 
+@register_op("ChannelGather")
+def lower_channel_gather(ctx: LowerCtx, x: TArr):
+    """Static channel gather (graph/passes.py:fold_shuffle_gathers) — the
+    materialized residue of a folded shuffle+slice chain."""
+    import numpy as _np
+
+    idx = _np.asarray(ctx.params["indices"], _np.int32)
+    if x.layout == "NHWC":
+        return nhwc(x.x[..., idx])
+    xs = as_semantic(x)
+    return wrap(xs[:, idx])
+
+
 @register_op("SpaceToDepth")
 def lower_space_to_depth(ctx: LowerCtx, x: TArr):
     """mode DCR (ONNX): channel order (dy, dx, c); mode CRD (default,

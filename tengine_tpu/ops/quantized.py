@@ -1433,6 +1433,7 @@ def _install_passthroughs():
         # both value-preserving (bilinear Interp is NOT and stays wrapped)
         ("Upsample", L.lower_upsample),
         ("Crop", L.lower_crop),
+        ("ChannelGather", L.lower_channel_gather),
     ):
         _register_passthrough(op, fn)
 

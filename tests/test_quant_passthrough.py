@@ -188,3 +188,39 @@ def test_concat_with_float_const_input_rejected(rng):
                                          options=Options(quant_mode="fast"),
                                          store=None))
     assert "passthrough" not in k.fn.__name__
+
+
+def test_fold_shuffle_gathers_exact(rng):
+    """graph/passes.py:fold_shuffle_gathers on the real shufflenet-v2
+    graph: the fold engages (shuffles vanish from the compiled clone), the
+    conv-side weight scatter is exact, and the whole net is bit-equal to
+    the unfolded engine and the ref oracle."""
+    import os
+
+    import tengine_tpu as tt
+    from tengine_tpu.graph.passes import fold_shuffle_gathers
+    from tengine_tpu.models.zoo import load_benchmark_model
+
+    g = load_benchmark_model("shufflenetv2", fill_missing_weights="random")
+    for tid in g.input_tensors:
+        g.tensors[tid].shape = [1, 3, 64, 64]
+    calib = [rng.standard_normal((1, 3, 64, 64)).astype(np.float32)]
+    qg = quantize_graph(g, calib, scheme="uint8")
+
+    qc = qg.clone()
+    n = fold_shuffle_gathers(qc)
+    assert n > 0
+    assert not any(x.op == "ShuffleChannel" for x in qc.nodes)
+    assert any(x.op == "ChannelGather" for x in qc.nodes)
+
+    t_in = qg.tensors[qg.input_tensors[0]]
+    xq = qmath.quantize_np(calib[0], t_in.quant, t_in.dtype)
+    (y_fold,) = compile_graph(qg, Options(quant_mode="fast")).run(xq)
+    os.environ["TT_FOLD_SHUFFLE"] = "0"
+    try:
+        (y_plain,) = compile_graph(qg, Options(quant_mode="fast")).run(xq)
+    finally:
+        os.environ.pop("TT_FOLD_SHUFFLE")
+    (y_ref,) = compile_graph(qg, Options(quant_mode="ref")).run(xq)
+    np.testing.assert_array_equal(y_fold, y_plain)
+    np.testing.assert_array_equal(y_fold, y_ref)
