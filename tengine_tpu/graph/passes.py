@@ -1319,4 +1319,66 @@ def fold_shuffle_gathers(g: Graph) -> int:
             node.inputs = []
             node.outputs = []
         folded += 1
+
+    # slice-less shuffles (the stride-2 downsample blocks feed both
+    # branches the full shuffled tensor): a pure permutation folds into
+    # group-1 conv consumers as W[:, inv_perm]
+    for sh in list(g.nodes):
+        if sh.op != "ShuffleChannel" or not sh.outputs or not sh.inputs:
+            continue
+        t_x = g.tensors[sh.inputs[0]]
+        t_mid = g.tensors[sh.outputs[0]]
+        if t_mid.idx in g.output_tensors or sh.idx in g.outputs:
+            continue
+        if not t_x.shape or len(t_x.shape) != 4:
+            continue
+        C = int(t_x.shape[1])
+        grp = sh.params.get("group", 1)
+        if grp <= 1 or C % grp:
+            continue
+
+        def _grid2(t):
+            q = t.quant
+            if q is None or q.per_channel:
+                return None
+            return (float(np.asarray(q.scales)), int(np.asarray(q.zero_points)),
+                    t.dtype)
+
+        if _grid2(t_x) is None or _grid2(t_mid) != _grid2(t_x):
+            continue
+        consumers = [
+            g.nodes[c] for c in t_mid.consumers
+            if t_mid.idx in g.nodes[c].inputs
+        ]
+        if not consumers or not all(
+            c.op == "Convolution"
+            and c.params.get("group", 1) == 1
+            and c.inputs and c.inputs[0] == t_mid.idx
+            and len(c.inputs) >= 2
+            and g.tensors[c.inputs[1]].is_const
+            and g.tensors[c.inputs[1]].data is not None
+            and g.tensors[c.inputs[1]].quant is not None
+            for c in consumers
+        ):
+            continue
+        perm = [(k % grp) * (C // grp) + k // grp for k in range(C)]
+        inv = np.argsort(np.asarray(perm))
+        for conv in consumers:
+            tw = g.tensors[conv.inputs[1]]
+            w_new = np.ascontiguousarray(tw.data[:, inv])
+            wt2 = g.add_tensor(
+                f"{tw.name}/shperm", tw.dtype, list(w_new.shape),
+                TensorType.CONST, data=w_new,
+            )
+            wt2.quant = tw.quant
+            conv.inputs[1] = wt2.idx
+            wt2.consumers.append(conv.idx)
+            conv.inputs[0] = t_x.idx
+            t_x.consumers = sorted(set(t_x.consumers + [conv.idx]))
+        t_mid.consumers = []
+        t_x.consumers = [c for c in t_x.consumers if c != sh.idx]
+        sh.op = "Noop"
+        sh.inputs = []
+        sh.outputs = []
+        folded += 1
     return folded
