@@ -1350,31 +1350,91 @@ def fold_shuffle_gathers(g: Graph) -> int:
             g.nodes[c] for c in t_mid.consumers
             if t_mid.idx in g.nodes[c].inputs
         ]
-        if not consumers or not all(
-            c.op == "Convolution"
-            and c.params.get("group", 1) == 1
-            and c.inputs and c.inputs[0] == t_mid.idx
-            and len(c.inputs) >= 2
-            and g.tensors[c.inputs[1]].is_const
-            and g.tensors[c.inputs[1]].data is not None
-            and g.tensors[c.inputs[1]].quant is not None
-            for c in consumers
+
+        def _const_w(c):
+            return (
+                c.op == "Convolution"
+                and c.inputs and c.inputs[0] == t_mid.idx
+                and len(c.inputs) >= 2
+                and g.tensors[c.inputs[1]].is_const
+                and g.tensors[c.inputs[1]].data is not None
+                and g.tensors[c.inputs[1]].quant is not None
+            )
+
+        def _dw_chain_ok(c):
+            """depthwise consumer: the permutation propagates through its
+            per-channel weights to ITS consumers, which must all be
+            group-1 const-weight convs reading it at input 0."""
+            if not (_const_w(c) and c.params.get("group", 1) == C
+                    and int(g.tensors[c.inputs[1]].shape[1]) == 1):
+                return False
+            t_o = g.tensors[c.outputs[0]]
+            if t_o.idx in g.output_tensors:
+                return False
+            nxt = [g.nodes[i] for i in t_o.consumers if t_o.idx in g.nodes[i].inputs]
+            return nxt and all(
+                n2.op == "Convolution"
+                and n2.params.get("group", 1) == 1
+                and n2.inputs and n2.inputs[0] == t_o.idx
+                and len(n2.inputs) >= 2
+                and g.tensors[n2.inputs[1]].is_const
+                and g.tensors[n2.inputs[1]].data is not None
+                and g.tensors[n2.inputs[1]].quant is not None
+                for n2 in nxt
+            )
+
+        plain = [c for c in consumers if _const_w(c) and c.params.get("group", 1) == 1]
+        dws = [c for c in consumers if c not in plain]
+        if not consumers or len(plain) + len(dws) != len(consumers) or not all(
+            _dw_chain_ok(c) for c in dws
         ):
             continue
         perm = [(k % grp) * (C // grp) + k // grp for k in range(C)]
         inv = np.argsort(np.asarray(perm))
-        for conv in consumers:
+
+        def _permuted_w(conv, w_new):
             tw = g.tensors[conv.inputs[1]]
-            w_new = np.ascontiguousarray(tw.data[:, inv])
             wt2 = g.add_tensor(
                 f"{tw.name}/shperm", tw.dtype, list(w_new.shape),
-                TensorType.CONST, data=w_new,
+                TensorType.CONST, data=np.ascontiguousarray(w_new),
             )
             wt2.quant = tw.quant
             conv.inputs[1] = wt2.idx
             wt2.consumers.append(conv.idx)
+            return tw
+
+        for conv in plain:
+            _permuted_w(conv, g.tensors[conv.inputs[1]].data[:, inv])
             conv.inputs[0] = t_x.idx
             t_x.consumers = sorted(set(t_x.consumers + [conv.idx]))
+        import copy as _copy
+
+        for dw in dws:
+            tw = g.tensors[dw.inputs[1]]
+            old = _permuted_w(dw, tw.data[inv])
+            wt2 = g.tensors[dw.inputs[1]]
+            if old.quant.per_channel:
+                wt2.quant = _copy.deepcopy(old.quant)
+                wt2.quant.scales = np.asarray(old.quant.scales)[inv]
+                wt2.quant.zero_points = np.asarray(old.quant.zero_points)[inv]
+            if len(dw.inputs) > 2:
+                tb = g.tensors[dw.inputs[2]]
+                if tb.data is not None:
+                    bt2 = g.add_tensor(
+                        f"{tb.name}/shperm", tb.dtype,
+                        list(tb.data.shape), TensorType.CONST,
+                        data=np.ascontiguousarray(tb.data[inv]),
+                    )
+                    bt2.quant = tb.quant
+                    dw.inputs[2] = bt2.idx
+                    bt2.consumers.append(dw.idx)
+            dw.inputs[0] = t_x.idx
+            t_x.consumers = sorted(set(t_x.consumers + [dw.idx]))
+            # the dw's output now carries x-order channels: its consumers'
+            # weights permute the same way
+            t_o = g.tensors[dw.outputs[0]]
+            for n2 in [g.nodes[i] for i in t_o.consumers if t_o.idx in g.nodes[i].inputs]:
+                _permuted_w(n2, g.tensors[n2.inputs[1]].data[:, inv])
         t_mid.consumers = []
         t_x.consumers = [c for c in t_x.consumers if c != sh.idx]
         sh.op = "Noop"

@@ -209,13 +209,9 @@ def test_fold_shuffle_gathers_exact(rng):
 
     qc = qg.clone()
     n = fold_shuffle_gathers(qc)
-    assert n >= 14  # 16 shuffles; the 2 with depthwise consumers remain
-    remaining = [x for x in qc.nodes if x.op == "ShuffleChannel"]
-    for sh in remaining:
-        cons = [qc.nodes[c] for c in qc.tensors[sh.outputs[0]].consumers]
-        assert any(c.params.get("group", 1) > 1 for c in cons), (
-            "only dw-consumer shuffles may remain unfolded"
-        )
+    assert n == 16  # every shuffle folds (incl. the dw-consumer downsample
+    # blocks, whose permutation propagates through the dw weights)
+    assert not any(x.op == "ShuffleChannel" for x in qc.nodes)
     assert any(x.op == "ChannelGather" for x in qc.nodes)
 
     t_in = qg.tensors[qg.input_tensors[0]]
