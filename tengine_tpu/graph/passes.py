@@ -1301,6 +1301,7 @@ def fold_shuffle_gathers(g: Graph) -> int:
                     wt2.quant = q
                     conv.inputs[1] = wt2.idx
                     wt2.consumers.append(conv.idx)
+                    tw.consumers = [c for c in tw.consumers if c != conv.idx]
                     conv.params["input_channel"] = C
                     conv.inputs[0] = t_x.idx
                     t_x.consumers = sorted(set(t_x.consumers + [conv.idx]))
@@ -1401,6 +1402,7 @@ def fold_shuffle_gathers(g: Graph) -> int:
             wt2.quant = tw.quant
             conv.inputs[1] = wt2.idx
             wt2.consumers.append(conv.idx)
+            tw.consumers = [c for c in tw.consumers if c != conv.idx]
             return tw
 
         for conv in plain:
