@@ -88,9 +88,12 @@ def dw_s8_via_bf16(x, w, M, B, barrier=False):
 
 
 def dw_s8_wfold(x, w, M, B):
-    """dw s2 with W folded into channels: x [N,H,W,C] -> [N,H,W/2,2C]
-    (free minor-dim reshape), conv becomes stride (2,1), kw_f taps over
-    2 channels/group — exact (inserted taps are zero)."""
+    """MEASURED-NEGATIVE probe, kept as the record (r5): dw s2 with W
+    folded into channels — XLA's grouped-conv emitter with 2 channels per
+    group runs 9x slower than the direct s8 dw (112²x64: 1.94 vs 0.21 ms),
+    which killed the idea before the tap-mapping was even debugged (the
+    variant also fails the bit-equality probe; do NOT use it for
+    numerics)."""
     N_, H, W, C = map(int, x.shape)
     pad_l = 1
     xf = x.reshape(N_, H, W // 2, 2 * C)
